@@ -1,0 +1,825 @@
+"""UR5+SIH multi-object manipulation environment — the fork's centerpiece,
+rebuilt TPU-native.
+
+Reference surface being re-implemented (see SURVEY.md §2.2-2.3):
+- isaacgymenvs/tasks/hand_arm/base/configurable_vec_task.py — step cadence
+- isaacgymenvs/tasks/hand_arm/base/ur5sih.py — robot, controllers, observables
+- isaacgymenvs/tasks/hand_arm/env/multi_object.py — scene + object observables
+- isaacgymenvs/tasks/hand_arm/task/multi_object_manipulation.py — rewards/resets
+
+Everything — control, substeps, contacts, reward, termination, auto-reset,
+observations, success metrics — is one pure function `step(state, actions)`
+traced once under jit and shardable over a device mesh on the env axis.
+Auto-reset is fused as a `where` against freshly sampled reset states
+(objects spawn settled on the table; the reference's drop-initialized pose
+pools arrive with the genesis module).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from handarm_tpu.math.quat import (
+    quat_from_axis_angle,
+    quat_mul,
+    quat_rotate,
+    quat_rotate_inv,
+)
+from handarm_tpu.envs.spec import Registry, obs_layout
+from handarm_tpu.physics.contacts import StaticGeom
+from handarm_tpu.physics.engine import (
+    ObjectState,
+    PhysicsState,
+    RobotState,
+    Scene,
+    SimParams,
+    StepInfo,
+    build_scene,
+    step as physics_step,
+)
+from handarm_tpu.physics.kinematics import forward_kinematics, site_poses
+from handarm_tpu.physics.shapes import stack_objects
+from handarm_tpu.robots import ur5sih as robot_mod
+from handarm_tpu.robots.ur5sih import (
+    BRINGUP_JOINT_CONFIG,
+    DEFAULT_DERIV_GAIN,
+    DEFAULT_PROP_GAIN,
+    FINGERTIP_SITES,
+    RESET_JOINT_CONFIG,
+    SERVO_LOWER,
+    SERVO_UPPER,
+    build_sih_splines,
+    load_ur5sih,
+    make_robot_spheres,
+    servo_to_joint_targets,
+)
+
+
+@dataclass(frozen=True)
+class HandArmConfig:
+    num_envs: int = 1024
+    episode_length: int = 200
+    control_freq_inv: int = 3  # 20 Hz policy on a 60 Hz sim
+    dt: float = 1.0 / 60.0
+    substeps: int = 2
+    # MDP interface (names resolved against the registry)
+    observations: tuple[str, ...] = (
+        "ur5_joint_pos", "ur5_flange_pose", "sih_fingertip_pos",
+        "sih_fingertip_quat", "sih_fingertip_linvel", "dof_position_targets",
+        "object_pos", "object_bounding_box", "target_object_bounding_box",
+        "sih_fingertip_to_target_object_pos", "target_object_to_goal_pos",
+    )
+    teacher_observations: tuple[str, ...] = ()
+    actions: tuple[str, ...] = (
+        "ur5_relative_joint_pos", "sih_smoothed_relative_servo_pos",
+    )
+    # task
+    goal: str = "lift"  # lift | reposition | throw
+    goal_threshold: float = 0.05
+    lifting_threshold: float = 0.05
+    lift_goal_height_above_table: float = 0.3
+    reward: dict = field(
+        default_factory=lambda: {
+            "reaching": 1.0, "lifting": 5.0, "goal": 50.0, "success": 50.0,
+        }
+    )
+    # scene
+    objects: tuple = (("box", (0.032, 0.032, 0.032), 0.1),)  # (kind, size, mass)
+    table_height: float = 0.5
+    table_lo: tuple = (-0.5, -0.5)
+    table_hi: tuple = (0.9, 1.1)
+    workspace_lo: tuple = (-0.07, 0.33, 0.0)
+    workspace_hi: tuple = (0.63, 0.83, 0.6)
+    drop_pos: tuple = (0.28, 0.58, 1.5)
+    drop_noise: tuple = (0.1, 0.1, 0.0)
+    goal_pos: tuple = (0.28, 0.58, 0.8)
+    goal_noise: tuple = (0.15, 0.15, 0.1)
+    spawn_noise: tuple = (0.1, 0.1, 0.0)
+    # control
+    arm_action_scale: float = 1.0
+    servo_smoothing_alpha: float = 0.8
+    # solver
+    solver_iterations: int = 8
+    hand_only_collision: bool = True
+    # randomization (object disturbance forces,
+    # reference Ur5SihMultiObjectManipulation.yaml randomization_params;
+    # off by default — enable for DR training runs)
+    randomize: bool = False
+    disturbance_probability: float = 0.2
+    disturbance_magnitude: float = 15.0
+    clip_observations: float = 100.0
+    clip_actions: float = 1.0
+
+
+class ControlState(NamedTuple):
+    arm_target: jnp.ndarray  # [B, 6]
+    servo_ticks: jnp.ndarray  # [B, 5]
+    sih_smoothed: jnp.ndarray  # [B, 5]
+
+
+class TaskState(NamedTuple):
+    progress: jnp.ndarray  # [B] int32
+    goal_pos: jnp.ndarray  # [B, 3]
+    target_obj: jnp.ndarray  # [B] int32
+    goal_reached_before: jnp.ndarray  # [B] bool
+    initial_obj_pos: jnp.ndarray  # [B, K, 3] positions at episode start
+    key: jnp.ndarray  # PRNG key (uint32[2] or typed key), shared across batch
+
+
+class Metrics(NamedTuple):
+    """Success-rate EWMAs carried in device state and emitted via info —
+    no host syncs (reference logs these from python:
+    multi_object_manipulation.py:316-351)."""
+
+    success_ewma: jnp.ndarray  # scalar
+    per_object_ewma: jnp.ndarray  # [K]
+    total_resets: jnp.ndarray  # scalar
+    total_successes: jnp.ndarray  # scalar
+
+
+class EnvState(NamedTuple):
+    physics: PhysicsState
+    control: ControlState
+    task: TaskState
+    metrics: Metrics
+
+
+class StepResult(NamedTuple):
+    obs: jnp.ndarray  # [B, obs_dim]
+    teacher_obs: jnp.ndarray  # [B, teacher_obs_dim] (0-dim if unused)
+    reward: jnp.ndarray  # [B]
+    done: jnp.ndarray  # [B] bool
+    info: dict
+
+
+# ---------------------------------------------------------------------------
+# observation context: lazily computed, cached quantities shared by terms
+
+
+class ObsContext:
+    def __init__(self, env: "HandArmEnv", state: EnvState, info: StepInfo | None):
+        self.env = env
+        self.state = state
+        self.info = info
+        self._cache: dict[str, Any] = {}
+
+    def _get(self, name, fn):
+        if name not in self._cache:
+            self._cache[name] = fn()
+        return self._cache[name]
+
+    @property
+    def fk(self):
+        return self._get(
+            "fk",
+            lambda: forward_kinematics(
+                self.env.scene.model,
+                self.state.physics.robot.q,
+                self.env.scene.base_quat[None],
+                self.env.scene.base_pos[None],
+            ),
+        )
+
+    @property
+    def fingertips(self):
+        """(quat [B,5,4], pos [B,5,3])"""
+        return self._get(
+            "tips",
+            lambda: site_poses(
+                self.fk, *self.env.fingertip_sites,
+                base_quat=jnp.broadcast_to(
+                    self.env.scene.base_quat, (self.batch, 4)
+                ),
+                base_pos=jnp.broadcast_to(self.env.scene.base_pos, (self.batch, 3)),
+            ),
+        )
+
+    @property
+    def flange(self):
+        return self._get(
+            "flange",
+            lambda: site_poses(
+                self.fk, *self.env.flange_site,
+                base_quat=jnp.broadcast_to(self.env.scene.base_quat, (self.batch, 4)),
+                base_pos=jnp.broadcast_to(self.env.scene.base_pos, (self.batch, 3)),
+            ),
+        )
+
+    @property
+    def batch(self):
+        return self.state.physics.robot.q.shape[0]
+
+    @property
+    def target_object_pos(self):
+        t = self.state.task.target_obj
+        return jnp.take_along_axis(
+            self.state.physics.objects.pos, t[:, None, None], axis=1
+        )[:, 0]
+
+    @property
+    def target_object_quat(self):
+        t = self.state.task.target_obj
+        return jnp.take_along_axis(
+            self.state.physics.objects.quat, t[:, None, None], axis=1
+        )[:, 0]
+
+    def fingertip_vel(self):
+        """(linvel [B,5,3], angvel [B,5,3]) of fingertip sites."""
+
+        def compute():
+            from handarm_tpu.physics.kinematics import body_velocities
+
+            bv = body_velocities(
+                self.env.scene.model, self.fk, self.state.physics.robot.qd
+            )  # [B, nb, 6]
+            body_idx = self.env.fingertip_sites[0]
+            _, tip_pos = self.fingertips
+            v = bv[:, body_idx]  # [B, 5, 6]
+            ang = v[..., :3]
+            lin = v[..., 3:] + jnp.cross(ang, tip_pos)
+            return lin, ang
+
+        return self._get("tipvel", compute)
+
+
+# ---------------------------------------------------------------------------
+# registry: the declarative observable/actionable catalog
+
+REGISTRY = Registry()
+
+
+@REGISTRY.observable("ur5_joint_pos", 6)
+def _obs_ur5_joint_pos(ctx):
+    return ctx.state.physics.robot.q[:, :6]
+
+
+@REGISTRY.observable("ur5_joint_vel", 6)
+def _obs_ur5_joint_vel(ctx):
+    return ctx.state.physics.robot.qd[:, :6]
+
+
+@REGISTRY.observable("ur5_joint_state", 12)
+def _obs_ur5_joint_state(ctx):
+    r = ctx.state.physics.robot
+    return jnp.concatenate([r.q[:, :6], r.qd[:, :6]], axis=-1)
+
+
+@REGISTRY.observable("ur5_flange_pose", 7)
+def _obs_flange_pose(ctx):
+    q, p = ctx.flange
+    return jnp.concatenate([p[:, 0], q[:, 0]], axis=-1)
+
+
+@REGISTRY.observable("sih_fingertip_pos", 15)
+def _obs_tip_pos(ctx):
+    return ctx.fingertips[1].reshape(ctx.batch, -1)
+
+
+@REGISTRY.observable("sih_fingertip_quat", 20)
+def _obs_tip_quat(ctx):
+    return ctx.fingertips[0].reshape(ctx.batch, -1)
+
+
+@REGISTRY.observable("sih_fingertip_linvel", 15)
+def _obs_tip_linvel(ctx):
+    return ctx.fingertip_vel()[0].reshape(ctx.batch, -1)
+
+
+@REGISTRY.observable("sih_fingertip_angvel", 15)
+def _obs_tip_angvel(ctx):
+    return ctx.fingertip_vel()[1].reshape(ctx.batch, -1)
+
+
+@REGISTRY.observable("dof_position_targets", 17)
+def _obs_dof_targets(ctx):
+    return ctx.state.physics.robot.targets
+
+
+@REGISTRY.observable("dof_pos", 17)
+def _obs_dof_pos(ctx):
+    return ctx.state.physics.robot.q
+
+
+@REGISTRY.observable("dof_vel", 17)
+def _obs_dof_vel(ctx):
+    return ctx.state.physics.robot.qd
+
+
+def _num_objects(env):
+    return env.cfg_num_objects
+
+
+# object observables are registered with env-dependent sizes at env build
+# time (they depend on K); see HandArmEnv._register_dynamic_observables.
+
+
+# --- actionables ------------------------------------------------------------
+
+
+@REGISTRY.actionable("ur5_relative_joint_pos", 6)
+def _act_arm_rel(env, control: ControlState, a):
+    # dt-integrated relative joint target (reference ur5sih.py:397-408)
+    new_target = control.arm_target + env.cfg.dt * env.cfg.arm_action_scale * a
+    return control._replace(
+        arm_target=jnp.clip(new_target, env.arm_limits[0], env.arm_limits[1])
+    )
+
+
+@REGISTRY.actionable("sih_absolute_servo_pos", 5)
+def _act_servo_abs(env, control: ControlState, a):
+    lo = jnp.asarray(SERVO_LOWER, a.dtype)
+    hi = jnp.asarray(SERVO_UPPER, a.dtype)
+    ticks = lo + (a * 0.5 + 0.5) * (hi - lo)
+    return control._replace(servo_ticks=ticks)
+
+
+@REGISTRY.actionable("sih_relative_servo_pos", 5)
+def _act_servo_rel(env, control: ControlState, a):
+    lo = jnp.asarray(SERVO_LOWER, a.dtype)
+    hi = jnp.asarray(SERVO_UPPER, a.dtype)
+    ticks = jnp.clip(control.servo_ticks + 100.0 * a, lo, hi)
+    return control._replace(servo_ticks=ticks)
+
+
+@REGISTRY.actionable("sih_smoothed_relative_servo_pos", 5)
+def _act_servo_smooth(env, control: ControlState, a):
+    # EMA-smoothed relative servo ticks (reference ur5sih.py:485-498)
+    alpha = env.cfg.servo_smoothing_alpha
+    smoothed = alpha * a + (1 - alpha) * control.sih_smoothed
+    lo = jnp.asarray(SERVO_LOWER, a.dtype)
+    hi = jnp.asarray(SERVO_UPPER, a.dtype)
+    ticks = jnp.clip(control.servo_ticks + 100.0 * smoothed, lo, hi)
+    return control._replace(servo_ticks=ticks, sih_smoothed=smoothed)
+
+
+# ---------------------------------------------------------------------------
+
+
+class HandArmEnv:
+    """Vectorized UR5+SIH manipulation env. All public methods are pure and
+    jittable; the instance holds only static configuration."""
+
+    def __init__(self, cfg: HandArmConfig):
+        self.cfg = cfg
+        art = load_ur5sih()
+        self.art = art
+        objs = []
+        for kind, size, mass in cfg.objects:
+            if kind == "box":
+                from handarm_tpu.physics.shapes import make_box_object
+
+                objs.append(make_box_object(list(size), mass))
+            elif kind == "sphere":
+                from handarm_tpu.physics.shapes import make_sphere_object
+
+                objs.append(make_sphere_object(size[0], mass))
+            else:
+                raise NotImplementedError(kind)
+        shapes = stack_objects(objs)
+        spheres = make_robot_spheres(hand_only=cfg.hand_only_collision)
+        geom = StaticGeom(
+            table_lo=jnp.asarray(cfg.table_lo, jnp.float32),
+            table_hi=jnp.asarray(cfg.table_hi, jnp.float32),
+            table_height=jnp.asarray(cfg.table_height, jnp.float32),
+            friction=jnp.asarray(1.0, jnp.float32),
+        )
+        from handarm_tpu.physics.solver import SolverParams
+
+        self.scene: Scene = build_scene(
+            art, shapes, spheres, geom,
+            kp=DEFAULT_PROP_GAIN, kd=DEFAULT_DERIV_GAIN,
+            base_pos=(0.0, 0.0, cfg.table_height),
+            params=SimParams(
+                dt=cfg.dt, substeps=cfg.substeps,
+                solver=SolverParams(iterations=cfg.solver_iterations),
+            ),
+        )
+        self.splines = build_sih_splines()
+        self.fingertip_sites = self._sites(FINGERTIP_SITES)
+        self.flange_site = self._sites(["flange"])
+        self.arm_limits = (
+            jnp.asarray(art.q_min[:6], jnp.float32),
+            jnp.asarray(art.q_max[:6], jnp.float32),
+        )
+        self.cfg_num_objects = shapes.num_objects
+        self._register_dynamic_observables()
+        self.active_obs = REGISTRY.resolve_observables(list(cfg.observations))
+        self.obs_slices, self.num_obs = obs_layout(
+            self.active_obs, list(cfg.observations)
+        )
+        if cfg.teacher_observations:
+            self.active_teacher_obs = REGISTRY.resolve_observables(
+                list(cfg.teacher_observations)
+            )
+            self.teacher_obs_slices, self.num_teacher_obs = obs_layout(
+                self.active_teacher_obs, list(cfg.teacher_observations)
+            )
+        else:
+            self.active_teacher_obs = []
+            self.teacher_obs_slices, self.num_teacher_obs = {}, 0
+        self.active_actions = REGISTRY.resolve_actionables(list(cfg.actions))
+        self.num_actions = sum(a.size for a in self.active_actions)
+        self.reset_q = jnp.asarray(RESET_JOINT_CONFIG, jnp.float32)
+
+    # --- helpers ------------------------------------------------------------
+
+    def _sites(self, names):
+        body, pos, quat = self.art.site_array(names)
+        return body, jnp.asarray(pos, jnp.float32), jnp.asarray(quat, jnp.float32)
+
+    def _register_dynamic_observables(self):
+        K = self.cfg_num_objects
+        reg = REGISTRY
+
+        reg.observables["object_pos"] = _mk_obs(
+            "object_pos", 3 * K,
+            lambda ctx: ctx.state.physics.objects.pos.reshape(ctx.batch, -1),
+        )
+        reg.observables["object_quat"] = _mk_obs(
+            "object_quat", 4 * K,
+            lambda ctx: ctx.state.physics.objects.quat.reshape(ctx.batch, -1),
+        )
+        reg.observables["object_linvel"] = _mk_obs(
+            "object_linvel", 3 * K,
+            lambda ctx: ctx.state.physics.objects.linvel.reshape(ctx.batch, -1),
+        )
+        reg.observables["object_angvel"] = _mk_obs(
+            "object_angvel", 3 * K,
+            lambda ctx: ctx.state.physics.objects.angvel.reshape(ctx.batch, -1),
+        )
+        reg.observables["object_mass"] = _mk_obs(
+            "object_mass", K,
+            lambda ctx: jnp.broadcast_to(
+                ctx.env.scene.shapes.mass[None], (ctx.batch, K)
+            ),
+        )
+
+        def bbox_all(ctx):
+            obj = ctx.state.physics.objects
+            ext = 2.0 * ctx.env.scene.shapes.size  # full extents for boxes
+            ext = jnp.broadcast_to(ext[None], (ctx.batch, K, 3))
+            return jnp.concatenate([obj.pos, obj.quat, ext], axis=-1).reshape(
+                ctx.batch, -1
+            )
+
+        reg.observables["object_bounding_box"] = _mk_obs(
+            "object_bounding_box", 10 * K, bbox_all
+        )
+
+        def bbox_target(ctx):
+            t = ctx.state.task.target_obj
+            ext = 2.0 * ctx.env.scene.shapes.size[t]
+            return jnp.concatenate(
+                [ctx.target_object_pos, ctx.target_object_quat, ext], axis=-1
+            )
+
+        reg.observables["target_object_bounding_box"] = _mk_obs(
+            "target_object_bounding_box", 10, bbox_target
+        )
+        reg.observables["target_object_pos"] = _mk_obs(
+            "target_object_pos", 3, lambda ctx: ctx.target_object_pos
+        )
+        reg.observables["target_object_quat"] = _mk_obs(
+            "target_object_quat", 4, lambda ctx: ctx.target_object_quat
+        )
+        reg.observables["goal_pos"] = _mk_obs(
+            "goal_pos", 3, lambda ctx: ctx.state.task.goal_pos
+        )
+        reg.observables["sih_fingertip_to_target_object_pos"] = _mk_obs(
+            "sih_fingertip_to_target_object_pos", 15,
+            lambda ctx: (
+                ctx.target_object_pos[:, None, :] - ctx.fingertips[1]
+            ).reshape(ctx.batch, -1),
+        )
+        reg.observables["target_object_to_goal_pos"] = _mk_obs(
+            "target_object_to_goal_pos", 3,
+            lambda ctx: ctx.state.task.goal_pos - ctx.target_object_pos,
+        )
+
+    # --- reset --------------------------------------------------------------
+
+    def _sample_object_poses(self, key, B):
+        """Objects spawn resting on the table around the drop xy, separated
+        along x to avoid initial interpenetration."""
+        K = self.cfg_num_objects
+        cfg = self.cfg
+        k1, k2, k3 = jax.random.split(key, 3)
+        center = jnp.asarray(cfg.drop_pos, jnp.float32)[:2]
+        noise = jax.random.uniform(
+            k1, (B, K, 2), minval=-1.0, maxval=1.0
+        ) * jnp.asarray(cfg.spawn_noise, jnp.float32)[:2]
+        spread = (jnp.arange(K, dtype=jnp.float32) - (K - 1) / 2.0) * 0.12
+        xy = center[None, None] + noise
+        xy = xy.at[..., 0].add(spread[None])
+        rest_h = self._rest_heights()  # [K]
+        z = jnp.broadcast_to(
+            cfg.table_height + rest_h[None], (B, K)
+        )
+        pos = jnp.concatenate([xy, z[..., None]], axis=-1)
+        yaw = jax.random.uniform(k2, (B, K), minval=-np.pi, maxval=np.pi)
+        axis = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (B, K, 3))
+        quat = quat_from_axis_angle(axis, yaw)
+        return pos, quat
+
+    def _rest_heights(self):
+        """Height of each object's com above the surface when resting."""
+        from handarm_tpu.physics.shapes import BOX, SPHERE
+
+        shp = self.scene.shapes
+        h = []
+        for k in range(self.cfg_num_objects):
+            if shp.kind[k] == BOX:
+                h.append(shp.size[k, 2])
+            else:
+                h.append(shp.size[k, 0])
+        return jnp.stack(h)
+
+    def _sample_goal(self, key, B):
+        cfg = self.cfg
+        base = jnp.asarray(cfg.goal_pos, jnp.float32)
+        noise = jax.random.uniform(key, (B, 3), minval=-1.0, maxval=1.0) * jnp.asarray(
+            cfg.goal_noise, jnp.float32
+        )
+        return base[None] + noise
+
+    def _fresh_state(self, key, B) -> EnvState:
+        kobj, kgoal, ktgt, knext = jax.random.split(key, 4)
+        pos, quat = self._sample_object_poses(kobj, B)
+        K = self.cfg_num_objects
+        physics = PhysicsState(
+            robot=RobotState(
+                q=jnp.broadcast_to(self.reset_q, (B, self.art.nv)),
+                qd=jnp.zeros((B, self.art.nv), jnp.float32),
+                targets=jnp.broadcast_to(self.reset_q, (B, self.art.nv)),
+            ),
+            objects=ObjectState(
+                pos=pos, quat=quat,
+                linvel=jnp.zeros((B, K, 3), jnp.float32),
+                angvel=jnp.zeros((B, K, 3), jnp.float32),
+            ),
+            contact_impulse=jnp.zeros(
+                (B, self.scene.slots.num_slots, 3), jnp.float32
+            ),
+        )
+        control = ControlState(
+            arm_target=jnp.broadcast_to(self.reset_q[:6], (B, 6)),
+            servo_ticks=jnp.broadcast_to(
+                jnp.asarray(SERVO_UPPER, jnp.float32), (B, 5)
+            ),
+            sih_smoothed=jnp.zeros((B, 5), jnp.float32),
+        )
+        task = TaskState(
+            progress=jnp.zeros(B, jnp.int32),
+            goal_pos=self._sample_goal(kgoal, B),
+            target_obj=jax.random.randint(ktgt, (B,), 0, K).astype(jnp.int32),
+            goal_reached_before=jnp.zeros(B, bool),
+            initial_obj_pos=pos,
+            key=knext,
+        )
+        metrics = Metrics(
+            success_ewma=jnp.zeros(()),
+            per_object_ewma=jnp.zeros(K),
+            total_resets=jnp.zeros(()),
+            total_successes=jnp.zeros(()),
+        )
+        return EnvState(physics=physics, control=control, task=task, metrics=metrics)
+
+    def reset(self, key) -> tuple[EnvState, jnp.ndarray]:
+        state = self._fresh_state(key, self.cfg.num_envs)
+        ctx = ObsContext(self, state, None)
+        return state, self._compute_obs(ctx, self.active_obs, self.cfg.observations)
+
+    # --- step ---------------------------------------------------------------
+
+    def step(self, state: EnvState, actions: jnp.ndarray) -> tuple[EnvState, StepResult]:
+        cfg = self.cfg
+        B = actions.shape[0]
+        actions = jnp.clip(actions, -cfg.clip_actions, cfg.clip_actions)
+        key, k_dist, k_reset = jax.random.split(state.task.key, 3)
+
+        # 1. actionables -> control state -> PD targets
+        control = state.control
+        off = 0
+        for act in self.active_actions:
+            control = act.apply(self, control, actions[:, off : off + act.size])
+            off += act.size
+        sih_targets = servo_to_joint_targets(
+            self.splines, control.servo_ticks, state.physics.robot.q[:, 6:]
+        )
+        targets = jnp.concatenate([control.arm_target, sih_targets], axis=-1)
+        physics = state.physics._replace(
+            robot=state.physics.robot._replace(targets=targets)
+        )
+
+        # 1b. domain randomization: random object disturbance impulses
+        # (reference randomization_params.object_disturbance)
+        if cfg.randomize and cfg.disturbance_probability > 0:
+            kd1, kd2 = jax.random.split(k_dist)
+            K = self.cfg_num_objects
+            hit = (
+                jax.random.uniform(kd1, (B, K, 1)) < cfg.disturbance_probability
+            )
+            mass = self.scene.shapes.mass[None, :, None]
+            dv = (
+                jax.random.normal(kd2, (B, K, 3))
+                * cfg.disturbance_magnitude
+                * cfg.dt
+                / jnp.maximum(mass, 1e-6)
+            )
+            physics = physics._replace(
+                objects=physics.objects._replace(
+                    linvel=physics.objects.linvel + jnp.where(hit, dv, 0.0)
+                )
+            )
+
+        # 2. physics: control_freq_inv outer steps fused in one scan
+        def body(s, _):
+            return physics_step(self.scene, s)
+
+        physics, infos = jax.lax.scan(
+            body, physics, None, length=cfg.control_freq_inv
+        )
+        info_last: StepInfo = jax.tree.map(lambda x: x[-1], infos)
+
+        progress = state.task.progress + 1
+        task = state.task._replace(progress=progress, key=key)
+        state2 = state._replace(physics=physics, task=task)
+
+        # 3. reward + termination on the post-physics state
+        ctx = ObsContext(self, state2, info_last)
+        reward, goal_reached, reward_terms = self._compute_reward(ctx)
+        goal_reached_before = state2.task.goal_reached_before | goal_reached
+        done = progress >= cfg.episode_length
+        task = task._replace(goal_reached_before=goal_reached_before)
+
+        # 4. success-rate EWMA metrics (device-side)
+        metrics = self._update_metrics(
+            state.metrics, done, goal_reached_before, task.target_obj
+        )
+
+        # 5. fused auto-reset
+        fresh = self._fresh_state(k_reset, B)
+        merged = jax.tree.map(
+            lambda new, old: _where_done(done, new, old),
+            fresh._replace(metrics=metrics, task=fresh.task._replace(key=key)),
+            EnvState(physics=physics, control=control, task=task, metrics=metrics),
+        )
+        # metrics/key are global (not per-env): keep the non-reset versions
+        merged = merged._replace(
+            metrics=metrics, task=merged.task._replace(key=key)
+        )
+
+        # 6. observations on the post-reset state
+        ctx_out = ObsContext(self, merged, info_last)
+        obs = self._compute_obs(ctx_out, self.active_obs, self.cfg.observations)
+        teacher_obs = (
+            self._compute_obs(
+                ctx_out, self.active_teacher_obs, self.cfg.teacher_observations
+            )
+            if self.active_teacher_obs
+            else jnp.zeros((B, 0), obs.dtype)
+        )
+        result = StepResult(
+            obs=obs,
+            teacher_obs=teacher_obs,
+            reward=reward,
+            done=done,
+            info=dict(
+                success_rate_ewma=metrics.success_ewma,
+                per_object_success_ewma=metrics.per_object_ewma,
+                max_penetration=info_last.max_penetration,
+                **reward_terms,
+            ),
+        )
+        return merged, result
+
+    # --- internals ----------------------------------------------------------
+
+    def _compute_obs(self, ctx, active, requested):
+        outs = {}
+        for o in active:
+            v = o.fn(ctx)
+            outs[o.name] = v
+        parts = [outs[name] for name in requested if REGISTRY.observables[name].key == "obs"]
+        obs = jnp.concatenate(parts, axis=-1) if parts else jnp.zeros((ctx.batch, 0))
+        return jnp.clip(obs, -self.cfg.clip_observations, self.cfg.clip_observations)
+
+    def _compute_reward(self, ctx: ObsContext):
+        cfg = self.cfg
+        B = ctx.batch
+        tip_pos = ctx.fingertips[1]  # [B, 5, 3]
+        tgt_pos = ctx.target_object_pos
+        goal_pos = ctx.state.task.goal_pos
+
+        # object/goal distance per goal mode
+        if cfg.goal == "lift":
+            goal_height = cfg.table_height + cfg.lift_goal_height_above_table
+            object_goal_distance = jnp.maximum(goal_height - tgt_pos[:, 2], 0.0)
+            goal_reached = tgt_pos[:, 2] > goal_height
+        elif cfg.goal in ("reposition", "oriented_reposition"):
+            object_goal_distance = jnp.linalg.norm(tgt_pos - goal_pos, axis=-1)
+            goal_reached = object_goal_distance < cfg.goal_threshold
+        elif cfg.goal == "throw":
+            object_goal_distance = jnp.linalg.norm(tgt_pos - goal_pos, axis=-1)
+            goal_reached = object_goal_distance < cfg.goal_threshold
+        else:
+            raise NotImplementedError(cfg.goal)
+
+        # lifting progress vs episode-initial height
+        t = ctx.state.task.target_obj
+        init_pos = jnp.take_along_axis(
+            ctx.state.task.initial_obj_pos, t[:, None, None], axis=1
+        )[:, 0]
+        delta_z = (tgt_pos - init_pos)[:, 2]
+        lifted = delta_z > cfg.lifting_threshold
+
+        reward = jnp.zeros(B)
+        terms = {}
+        for term, scale in cfg.reward.items():
+            if term == "reaching":
+                d = jnp.linalg.norm(tip_pos - tgt_pos[:, None, :], axis=-1)
+                d = d.at[:, 0].multiply(4.0)  # thumb is required for SIH grasps
+                r = scale * jnp.exp(-3.0 * jnp.sum(d, axis=-1))
+            elif term == "lifting":
+                delta_h = (
+                    jnp.clip(
+                        cfg.lifting_threshold - delta_z, 0.0, cfg.lifting_threshold
+                    )
+                    / cfg.lifting_threshold
+                )
+                r = scale * (jnp.exp(-3.0 * delta_h) - jnp.exp(-3.0))
+            elif term == "goal":
+                r = scale * lifted * jnp.exp(-5.0 * object_goal_distance)
+            elif term == "success":
+                r = scale * goal_reached
+            elif term == "object_velocity_penalty":
+                v = jnp.sum(
+                    jnp.linalg.norm(ctx.state.physics.objects.linvel, axis=-1),
+                    axis=-1,
+                )
+                r = -scale * jnp.clip(
+                    jnp.where(v > 0.25, jnp.exp(v - 0.25) - 1.0, 0.0), 0.0, 10.0
+                )
+            elif term == "dof_velocity_penalty":
+                v = jnp.abs(ctx.state.physics.robot.qd[:, :6]).max(axis=-1)
+                r = -scale * jnp.clip(
+                    jnp.where(v > 0.5, jnp.exp(v - 0.5) - 1.0, 0.0), 0.0, 10.0
+                )
+            elif term == "collision_penalty":
+                f = jnp.linalg.norm(ctx.info.body_contact_force, axis=-1).max(-1)
+                r = -scale * jnp.clip(
+                    jnp.where(f > 1.0, jnp.exp(f - 1.0) - 1.0, 0.0), 0.0, 1.0
+                )
+            else:
+                raise ValueError(f"unknown reward term {term}")
+            reward = reward + r
+            terms[f"reward_terms/{term}"] = jnp.mean(r)
+        return reward, goal_reached, terms
+
+    def _update_metrics(self, metrics: Metrics, done, goal_reached_before, target_obj):
+        K = self.cfg_num_objects
+        B = done.shape[0]
+        num_resets = jnp.sum(done)
+        num_succ = jnp.sum(done & goal_reached_before)
+        cur = num_succ / jnp.maximum(num_resets, 1)
+        alpha = 0.2 * num_resets / B
+        ewma = jnp.where(
+            num_resets > 0,
+            alpha * cur + (1 - alpha) * metrics.success_ewma,
+            metrics.success_ewma,
+        )
+        onehot = jax.nn.one_hot(target_obj, K)
+        resets_k = jnp.sum(onehot * done[:, None], axis=0)
+        succ_k = jnp.sum(onehot * (done & goal_reached_before)[:, None], axis=0)
+        cur_k = succ_k / jnp.maximum(resets_k, 1)
+        alpha_k = 0.2 * resets_k / B * K
+        ewma_k = jnp.where(
+            resets_k > 0,
+            alpha_k * cur_k + (1 - alpha_k) * metrics.per_object_ewma,
+            metrics.per_object_ewma,
+        )
+        return Metrics(
+            success_ewma=ewma,
+            per_object_ewma=ewma_k,
+            total_resets=metrics.total_resets + num_resets,
+            total_successes=metrics.total_successes + num_succ,
+        )
+
+
+def _mk_obs(name, size, fn, key="obs"):
+    from handarm_tpu.envs.spec import Observable
+
+    return Observable(name, size, fn, key)
+
+
+def _where_done(done, new, old):
+    """Per-env where; leaves without a leading env axis pass through old."""
+    if new.ndim == 0 or new.shape[0] != done.shape[0]:
+        return old
+    d = done.reshape(done.shape + (1,) * (new.ndim - 1))
+    return jnp.where(d, new, old)

@@ -1,0 +1,350 @@
+"""PPO with GAE — the whole training iteration is one jitted function.
+
+TPU-native replacement for the reference's external rl_games A2CAgent +
+learning/common_agent.py train loop (SURVEY.md §2.6): rollout is a
+`lax.scan(policy ∘ env.step)` over the horizon fused with the physics; the
+SGD phase scans over mini-epochs × minibatches in the same XLA program. No
+host round-trips inside an iteration. Feature parity targets the hand-arm
+PPO config (cfg/train/HandArmTaskMultiObjectManipulationPPO.yaml): adaptive
+KL learning rate, clipped value loss, bounds loss, input/value running
+normalization, value bootstrap on timeout, reward scaling.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from handarm_tpu.learn.networks import ActorCritic
+from handarm_tpu.learn.running_stats import (
+    RunningStats,
+    denormalize,
+    init_stats,
+    normalize,
+    update_stats,
+)
+
+
+class PPOConfig(NamedTuple):
+    horizon: int = 16
+    num_minibatches: int = 0  # 0 -> derive from minibatch_size
+    minibatch_size: int = 32768
+    mini_epochs: int = 4
+    gamma: float = 0.99
+    tau: float = 0.95  # GAE lambda
+    learning_rate: float = 3e-4
+    kl_threshold: float = 0.016  # adaptive LR target
+    lr_schedule: str = "adaptive"  # adaptive | fixed
+    e_clip: float = 0.15
+    clip_value: bool = True
+    critic_coef: float = 4.0
+    entropy_coef: float = 0.0
+    bounds_loss_coef: float = 0.0001
+    grad_norm: float = 1.0
+    reward_scale: float = 0.01
+    normalize_input: bool = True
+    normalize_value: bool = True
+    normalize_advantage: bool = True
+    value_bootstrap: bool = True
+    max_lr: float = 1e-2
+    min_lr: float = 1e-6
+    hidden: tuple = (768, 512, 256)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    obs_stats: RunningStats
+    value_stats: RunningStats
+    lr: jnp.ndarray
+    env_state: Any
+    last_obs: jnp.ndarray
+    key: jnp.ndarray
+    epoch: jnp.ndarray
+
+
+class Transition(NamedTuple):
+    obs: jnp.ndarray
+    action: jnp.ndarray
+    logp: jnp.ndarray
+    value: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+    mu: jnp.ndarray
+    sigma: jnp.ndarray
+
+
+def _gaussian_logp(mu, log_std, a):
+    return jnp.sum(
+        -0.5 * ((a - mu) / jnp.exp(log_std)) ** 2
+        - log_std
+        - 0.5 * jnp.log(2.0 * jnp.pi),
+        axis=-1,
+    )
+
+
+class PPO:
+    """Builder tying an env (HandArmEnv-like: .step/.reset/.num_obs/
+    .num_actions) to a jitted train iteration."""
+
+    def __init__(self, env, cfg: PPOConfig = PPOConfig()):
+        self.env = env
+        self.cfg = cfg
+        self.net = ActorCritic(num_actions=env.num_actions, hidden=cfg.hidden)
+        batch = env.cfg.num_envs * cfg.horizon
+        if cfg.num_minibatches:
+            self.num_minibatches = cfg.num_minibatches
+        else:
+            self.num_minibatches = max(1, batch // cfg.minibatch_size)
+        assert batch % self.num_minibatches == 0
+        self.mb_size = batch // self.num_minibatches
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_norm),
+            optax.scale_by_adam(eps=1e-8),
+            optax.scale_by_learning_rate(1.0, flip_sign=True),
+        )
+
+    # --- init ---------------------------------------------------------------
+
+    def init(self, key) -> TrainState:
+        k_env, k_net, k_next = jax.random.split(key, 3)
+        env_state, obs = self.env.reset(k_env)
+        params = self.net.init(k_net, obs[:1])
+        opt_state = self.optimizer.init(params)
+        return TrainState(
+            params=params,
+            opt_state=opt_state,
+            obs_stats=init_stats((self.env.num_obs,)),
+            value_stats=init_stats(()),
+            lr=jnp.asarray(self.cfg.learning_rate),
+            env_state=env_state,
+            last_obs=obs,
+            key=k_next,
+            epoch=jnp.zeros((), jnp.int32),
+        )
+
+    # --- one train iteration (jit this) -------------------------------------
+
+    def train_iter(self, ts: TrainState):
+        cfg = self.cfg
+        key, k_roll, k_perm = jax.random.split(ts.key, 3)
+
+        # 1. rollout
+        def rollout_step(carry, k):
+            env_state, obs = carry
+            nobs = normalize(ts.obs_stats, obs) if cfg.normalize_input else obs
+            mu, log_std, value = self.net.apply(ts.params, nobs)
+            a = mu + jnp.exp(log_std) * jax.random.normal(k, mu.shape)
+            logp = _gaussian_logp(mu, log_std, a)
+            env_state, res = self.env.step(env_state, a)
+            value = (
+                denormalize(ts.value_stats, value)
+                if cfg.normalize_value
+                else value
+            )
+            reward = res.reward * cfg.reward_scale
+            # value bootstrap on episode-length timeout (all our dones are
+            # timeouts — reference sets value_bootstrap: True)
+            if cfg.value_bootstrap:
+                reward = reward + cfg.gamma * value * res.done
+            t = Transition(
+                obs=obs, action=a, logp=logp, value=value,
+                reward=reward, done=res.done, mu=mu, sigma=jnp.exp(log_std),
+            )
+            return (env_state, res.obs), (t, res.info)
+
+        keys = jax.random.split(k_roll, cfg.horizon)
+        (env_state, last_obs), (traj, infos) = jax.lax.scan(
+            rollout_step, (ts.env_state, ts.last_obs), keys
+        )
+
+        # bootstrap value for the state after the last step
+        nobs = (
+            normalize(ts.obs_stats, last_obs) if cfg.normalize_input else last_obs
+        )
+        _, _, last_value = self.net.apply(ts.params, nobs)
+        last_value = (
+            denormalize(ts.value_stats, last_value)
+            if cfg.normalize_value
+            else last_value
+        )
+
+        # 2. GAE
+        def gae_step(carry, t):
+            adv_next, v_next = carry
+            nonterminal = 1.0 - t.done.astype(jnp.float32)
+            delta = t.reward + cfg.gamma * v_next * nonterminal - t.value
+            adv = delta + cfg.gamma * cfg.tau * nonterminal * adv_next
+            return (adv, t.value), adv
+
+        _, advantages = jax.lax.scan(
+            gae_step,
+            (jnp.zeros_like(last_value), last_value),
+            traj,
+            reverse=True,
+        )
+        returns = advantages + traj.value
+
+        # 3. update running stats once per iteration
+        obs_stats = (
+            update_stats(ts.obs_stats, traj.obs.reshape(-1, traj.obs.shape[-1]))
+            if cfg.normalize_input
+            else ts.obs_stats
+        )
+        value_stats = (
+            update_stats(ts.value_stats, returns.reshape(-1))
+            if cfg.normalize_value
+            else ts.value_stats
+        )
+
+        # flatten [T, B] -> [T*B]
+        def flat(x):
+            return x.reshape((-1,) + x.shape[2:])
+
+        batch = jax.tree.map(flat, traj)
+        advantages_f = flat(advantages)
+        returns_f = flat(returns)
+        if cfg.normalize_advantage:
+            advantages_f = (advantages_f - advantages_f.mean()) / (
+                advantages_f.std() + 1e-8
+            )
+        returns_n = (
+            normalize(value_stats, returns_f, clip=jnp.inf)
+            if cfg.normalize_value
+            else returns_f
+        )
+        values_n = (
+            normalize(value_stats, batch.value, clip=jnp.inf)
+            if cfg.normalize_value
+            else batch.value
+        )
+
+        N = returns_f.shape[0]
+
+        # 4. minibatch SGD with KL-adaptive LR
+        def loss_fn(params, mb):
+            obs_n = (
+                normalize(obs_stats, mb["obs"]) if cfg.normalize_input else mb["obs"]
+            )
+            mu, log_std, value = self.net.apply(params, obs_n)
+            logp = _gaussian_logp(mu, log_std, mb["action"])
+            ratio = jnp.exp(logp - mb["logp"])
+            surr1 = ratio * mb["adv"]
+            surr2 = jnp.clip(ratio, 1.0 - cfg.e_clip, 1.0 + cfg.e_clip) * mb["adv"]
+            policy_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+            if cfg.clip_value:
+                v_clipped = mb["value_n"] + jnp.clip(
+                    value - mb["value_n"], -cfg.e_clip, cfg.e_clip
+                )
+                v_loss = jnp.maximum(
+                    (value - mb["return_n"]) ** 2,
+                    (v_clipped - mb["return_n"]) ** 2,
+                )
+            else:
+                v_loss = (value - mb["return_n"]) ** 2
+            value_loss = 0.5 * jnp.mean(v_loss)
+            entropy = jnp.mean(
+                jnp.sum(log_std + 0.5 * jnp.log(2.0 * jnp.pi * jnp.e), axis=-1)
+            )
+            # soft bound loss pushing mu into [-1.1, 1.1]
+            mu_excess = jnp.maximum(jnp.abs(mu) - 1.1, 0.0)
+            bounds_loss = jnp.mean(jnp.sum(mu_excess**2, axis=-1))
+            total = (
+                policy_loss
+                + cfg.critic_coef * 0.5 * value_loss
+                - cfg.entropy_coef * entropy
+                + cfg.bounds_loss_coef * bounds_loss
+            )
+            # KL(old || new) for adaptive LR (rl_games policy_kl form)
+            old_sigma, sigma = mb["sigma"], jnp.exp(log_std)
+            kl = jnp.sum(
+                jnp.log(sigma / old_sigma)
+                + (old_sigma**2 + (mb["mu"] - mu) ** 2) / (2.0 * sigma**2)
+                - 0.5,
+                axis=-1,
+            )
+            return total, dict(
+                policy_loss=policy_loss,
+                value_loss=value_loss,
+                entropy=entropy,
+                kl=jnp.mean(kl),
+                bounds_loss=bounds_loss,
+            )
+
+        grad_fn = jax.grad(loss_fn, has_aux=True)
+
+        def mb_step(carry, idx):
+            params, opt_state, lr = carry
+            mb = dict(
+                obs=batch.obs[idx],
+                action=batch.action[idx],
+                logp=batch.logp[idx],
+                adv=advantages_f[idx],
+                return_n=returns_n[idx],
+                value_n=values_n[idx],
+                mu=batch.mu[idx],
+                sigma=batch.sigma[idx],
+            )
+            grads, aux = grad_fn(params, mb)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: u * lr, updates)
+            params = optax.apply_updates(params, updates)
+            if cfg.lr_schedule == "adaptive":
+                lr = jnp.where(
+                    aux["kl"] > 2.0 * cfg.kl_threshold,
+                    jnp.maximum(lr / 1.5, cfg.min_lr),
+                    jnp.where(
+                        aux["kl"] < 0.5 * cfg.kl_threshold,
+                        jnp.minimum(lr * 1.5, cfg.max_lr),
+                        lr,
+                    ),
+                )
+            return (params, opt_state, lr), aux
+
+        def epoch_step(carry, k):
+            perm = jax.random.permutation(k, N).reshape(
+                self.num_minibatches, self.mb_size
+            )
+            carry, auxs = jax.lax.scan(mb_step, carry, perm)
+            return carry, auxs
+
+        epoch_keys = jax.random.split(k_perm, cfg.mini_epochs)
+        (params, opt_state, lr), auxs = jax.lax.scan(
+            epoch_step, (ts.params, ts.opt_state, ts.lr), epoch_keys
+        )
+
+        stats = dict(
+            reward_mean=traj.reward.mean() / cfg.reward_scale,
+            episode_done_frac=traj.done.mean(),
+            kl=auxs["kl"].mean(),
+            policy_loss=auxs["policy_loss"].mean(),
+            value_loss=auxs["value_loss"].mean(),
+            entropy=auxs["entropy"].mean(),
+            lr=lr,
+            success_rate_ewma=infos["success_rate_ewma"][-1],
+        )
+        new_ts = TrainState(
+            params=params,
+            opt_state=opt_state,
+            obs_stats=obs_stats,
+            value_stats=value_stats,
+            lr=lr,
+            env_state=env_state,
+            last_obs=last_obs,
+            key=key,
+            epoch=ts.epoch + 1,
+        )
+        return new_ts, stats
+
+    # --- inference ----------------------------------------------------------
+
+    def act(self, ts: TrainState, obs, deterministic=True, key=None):
+        nobs = normalize(ts.obs_stats, obs) if self.cfg.normalize_input else obs
+        mu, log_std, _ = self.net.apply(ts.params, nobs)
+        if deterministic:
+            return mu
+        return mu + jnp.exp(log_std) * jax.random.normal(key, mu.shape)

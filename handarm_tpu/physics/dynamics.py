@@ -1,0 +1,225 @@
+"""Batched articulated rigid-body dynamics (world-frame, reduced coordinates).
+
+TPU-native core replacing the PhysX GPU articulation solver that the
+reference drives through gym.simulate (reference: isaacgymenvs/tasks/base/
+vec_task.py:409-412). Formulation:
+
+- Mass matrix via composite-rigid-body over world-frame spatial inertias:
+  M[u, v] = s_u^T I^c_{deeper(u,v)} s_v — two batched einsums, MXU-friendly.
+- Bias torques via world-frame RNEA with the gravity-as-base-acceleration
+  trick: one root->leaf sweep (unrolled, nv static) + one masked matmul.
+- Actuation is *stable PD* (implicit in gains): the PD stiffness/damping are
+  folded into the inertia (M + h*Kd + h^2*Kp), making arbitrary gains
+  unconditionally stable — the TPU-friendly analog of PhysX's implicit joint
+  drives (reference DOF_MODE_POS + prop/deriv gains, ur5sih.py:108-121).
+
+Free 6-DoF bodies (objects) are kept in maximal coordinates with explicit
+gyroscopic torque; see `free_body_*`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from handarm_tpu.math.quat import quat_integrate
+from handarm_tpu.math.spatial import (
+    motion_cross,
+    force_cross,
+    rotate_inertia,
+    spatial_inertia_at_origin,
+)
+from handarm_tpu.physics.kinematics import FK, ModelArrays
+
+
+class Dyn(NamedTuple):
+    """Per-substep dynamics quantities (batch-leading)."""
+
+    Mtilde: jnp.ndarray  # [B, nv, nv] PD-augmented mass matrix
+    chol: jnp.ndarray  # [B, nv, nv] cholesky factor of Mtilde
+    bias: jnp.ndarray  # [B, nv] C(q, qd) + g(q)
+    body_inertia_w: jnp.ndarray  # [B, nb, 6, 6] spatial inertia at origin
+    body_vel: jnp.ndarray  # [B, nb, 6]
+
+
+def world_spatial_inertias(m: ModelArrays, fk: FK) -> jnp.ndarray:
+    """[B, nb, 6, 6] spatial inertia of each moving body at the world origin."""
+    com_w = fk.body_pos + jnp.einsum(
+        "bnij,nj->bni",
+        _quat_mats(fk.body_quat),
+        m.com,
+    )
+    I_w = rotate_inertia(fk.body_quat, m.inertia)
+    return spatial_inertia_at_origin(
+        jnp.broadcast_to(m.mass, com_w.shape[:-1]), com_w, I_w
+    )
+
+
+def _quat_mats(q):
+    from handarm_tpu.math.quat import quat_to_matrix
+
+    return quat_to_matrix(q)
+
+
+def mass_matrix(m: ModelArrays, fk: FK, I_spatial: jnp.ndarray) -> jnp.ndarray:
+    """CRBA in world coordinates.
+
+    Composite inertia of dof v's subtree: Ic_v = sum_n anc[n, v] I_n.
+    M[u, v] = s_u^T Ic_max(u,v) s_v, masked to connected pairs.
+    """
+    # Ic[b, v] = sum over bodies n that dof v moves (n in subtree of v)
+    Ic = jnp.einsum("nv,bnij->bvij", m.ancestor_mask, I_spatial)
+    f = jnp.einsum("bvij,bvj->bvi", Ic, fk.screw)  # [B, nv, 6]
+    Mraw = jnp.einsum("bui,bvi->buv", fk.screw, f)
+    # keep entry (u, v) iff u is an ancestor-or-self dof of v's body:
+    # dof indices coincide with body indices for this fixed-base chain.
+    keep = m.ancestor_mask.T  # keep[u, v] = anc[v, u]
+    upper = Mraw * keep
+    diag = jnp.einsum("buu->bu", upper)
+    return upper + jnp.swapaxes(upper, -1, -2) - jnp.vectorize(jnp.diag, signature="(n)->(n,n)")(diag)
+
+
+def bias_forces(
+    m: ModelArrays,
+    fk: FK,
+    qd: jnp.ndarray,
+    gravity: jnp.ndarray,
+    I_spatial: jnp.ndarray,
+    body_vel: jnp.ndarray,
+) -> jnp.ndarray:
+    """C(q, qd) + g(q): generalized bias torques. [B, nv].
+
+    Root->leaf sweep for velocity-product accelerations with the base given
+    acceleration -g (gravity trick), then f_n = I_n a_n + v_n x* I_n v_n and
+    tau_u = s_u^T sum_{n in subtree(u)} f_n.
+    """
+    B = qd.shape[0]
+    a0 = jnp.concatenate(
+        [jnp.zeros((B, 3), qd.dtype), jnp.broadcast_to(-gravity, (B, 3))], axis=-1
+    )
+    avp = []
+    for i in range(m.nv):
+        p = int(m.parent[i])
+        a_par = a0 if p < 0 else avp[p]
+        s_i = fk.screw[:, i]
+        # barrier: see forward_kinematics — prevents exponential recompute
+        # of the acceleration chain under XLA:CPU fusion
+        avp.append(
+            jax.lax.optimization_barrier(
+                a_par + motion_cross(body_vel[:, i], s_i) * qd[:, i : i + 1]
+            )
+        )
+    avp = jnp.stack(avp, axis=1)  # [B, nb, 6]
+
+    Iv = jnp.einsum("bnij,bnj->bni", I_spatial, body_vel)
+    f = jnp.einsum("bnij,bnj->bni", I_spatial, avp) + force_cross(body_vel, Iv)
+    fc = jnp.einsum("nu,bni->bui", m.ancestor_mask, f)  # subtree force sums
+    return jnp.einsum("bui,bui->bu", fk.screw, fc)
+
+
+def pd_augmented_mass(
+    m: ModelArrays,
+    M: jnp.ndarray,
+    kp: jnp.ndarray,
+    kd: jnp.ndarray,
+    h: float,
+) -> jnp.ndarray:
+    """Mtilde = M + diag(armature + h*(kd + joint_damping) + h^2*kp)."""
+    d = m.armature + h * (kd + m.joint_damping) + (h * h) * kp
+    return M + jnp.vectorize(jnp.diag, signature="(n)->(n,n)")(
+        jnp.broadcast_to(d, M.shape[:-2] + d.shape)
+    )
+
+
+def stable_pd_torque(
+    q: jnp.ndarray,
+    qd: jnp.ndarray,
+    q_target: jnp.ndarray,
+    kp: jnp.ndarray,
+    kd: jnp.ndarray,
+    h: float,
+    effort_limit: jnp.ndarray,
+) -> jnp.ndarray:
+    """Explicit part of the stable-PD control torque (Tan et al. 2011).
+
+    tau = kp*(q_target - q - h*qd) - kd*qd, with the implicit Jacobian
+    folded into Mtilde by `pd_augmented_mass`. Clamped to effort limits.
+    """
+    tau = kp * (q_target - q - h * qd) - kd * qd
+    return jnp.clip(tau, -effort_limit, effort_limit)
+
+
+def compute_dyn(
+    m: ModelArrays,
+    fk: FK,
+    qd: jnp.ndarray,
+    gravity: jnp.ndarray,
+    kp: jnp.ndarray,
+    kd: jnp.ndarray,
+    h: float,
+) -> Dyn:
+    from handarm_tpu.physics.kinematics import body_velocities
+
+    I_spatial = world_spatial_inertias(m, fk)
+    body_vel = body_velocities(m, fk, qd)
+    M = mass_matrix(m, fk, I_spatial)
+    Mt = pd_augmented_mass(m, M, kp, kd, h)
+    chol = jnp.linalg.cholesky(Mt)
+    bias = bias_forces(m, fk, qd, gravity, I_spatial, body_vel)
+    return Dyn(Mtilde=Mt, chol=chol, bias=bias, body_inertia_w=I_spatial, body_vel=body_vel)
+
+
+def chol_solve(chol: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve Mtilde x = b given its cholesky factor. b: [B, nv] or [B, nv, k]."""
+    squeeze = b.ndim == chol.ndim - 1
+    if squeeze:
+        b = b[..., None]
+    y = jax.scipy.linalg.solve_triangular(chol, b, lower=True)
+    x = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(chol, -1, -2), y, lower=False
+    )
+    return x[..., 0] if squeeze else x
+
+
+# --- free rigid bodies (objects), maximal coordinates ------------------------
+
+
+def free_body_inv_inertia_world(quat: jnp.ndarray, inertia_body_diag: jnp.ndarray):
+    """World-frame inverse rotational inertia. quat: [..., 4],
+    inertia_body_diag: [..., 3] principal moments. Returns [..., 3, 3]."""
+    from handarm_tpu.math.quat import quat_to_matrix
+
+    R = quat_to_matrix(quat)
+    inv = 1.0 / jnp.maximum(inertia_body_diag, 1e-12)
+    return jnp.einsum("...ij,...j,...kj->...ik", R, inv, R)
+
+
+def free_body_integrate(
+    pos: jnp.ndarray,
+    quat: jnp.ndarray,
+    linvel: jnp.ndarray,
+    angvel: jnp.ndarray,
+    h: float,
+):
+    """Semi-implicit position update for free bodies (velocities already
+    include gravity + impulses)."""
+    return pos + h * linvel, quat_integrate(quat, angvel, h)
+
+
+def gyroscopic_delta(
+    quat: jnp.ndarray, inertia_body_diag: jnp.ndarray, angvel: jnp.ndarray, h: float
+) -> jnp.ndarray:
+    """Explicit gyroscopic angular-velocity increment, magnitude-clamped for
+    lockstep stability: dw = -h * I^-1 (w x I w)."""
+    from handarm_tpu.math.quat import quat_rotate, quat_rotate_inv
+
+    w_b = quat_rotate_inv(quat, angvel)
+    Iw = inertia_body_diag * w_b
+    dw_b = -h * (jnp.cross(w_b, Iw) / jnp.maximum(inertia_body_diag, 1e-12))
+    # clamp to a fraction of |w| to avoid energy blow-up in f32 lockstep
+    mag = jnp.linalg.norm(dw_b, axis=-1, keepdims=True)
+    wmag = jnp.linalg.norm(w_b, axis=-1, keepdims=True)
+    scale = jnp.minimum(1.0, 0.5 * wmag / jnp.maximum(mag, 1e-9))
+    return quat_rotate(quat, dw_b * scale)

@@ -1,0 +1,249 @@
+"""The lockstep physics engine: one jittable `step` over stacked env state.
+
+TPU-native replacement for the reference's gym.simulate loop
+(isaacgymenvs/tasks/base/vec_task.py:409-412: control_freq_inv x simulate,
+each 60 Hz step internally 2 PhysX substeps). Here the whole cadence —
+substeps, contact solve, integration — is one traced function; reward/obs/
+reset fuse into the same XLA program at the env layer.
+
+State layout is [B, ...] stacked envs throughout; sharding the leading axis
+over a device mesh (see handarm_tpu.parallel) scales this to pods.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from handarm_tpu.physics.contacts import (
+    Contacts,
+    ContactSlots,
+    RobotSpheres,
+    StaticGeom,
+    generate_contacts,
+    make_contact_slots,
+)
+from handarm_tpu.physics.dynamics import (
+    chol_solve,
+    compute_dyn,
+    free_body_integrate,
+    gyroscopic_delta,
+    stable_pd_torque,
+)
+from handarm_tpu.physics.kinematics import (
+    ModelArrays,
+    forward_kinematics,
+    model_arrays,
+)
+from handarm_tpu.physics.model import Articulation
+from handarm_tpu.physics.shapes import ObjectShapes
+from handarm_tpu.physics.solver import SolverParams, solve_contacts
+
+
+class SimParams(NamedTuple):
+    dt: float = 1.0 / 60.0  # outer sim step (reference Ur5SihBase.yaml sim.dt)
+    substeps: int = 2
+    solver: SolverParams = SolverParams()
+    joint_limit_margin: float = 0.0
+
+
+class RobotState(NamedTuple):
+    q: jnp.ndarray  # [B, nv]
+    qd: jnp.ndarray  # [B, nv]
+    targets: jnp.ndarray  # [B, nv] PD position targets
+
+
+class ObjectState(NamedTuple):
+    pos: jnp.ndarray  # [B, K, 3]
+    quat: jnp.ndarray  # [B, K, 4] wxyz
+    linvel: jnp.ndarray  # [B, K, 3]
+    angvel: jnp.ndarray  # [B, K, 3]
+
+
+class PhysicsState(NamedTuple):
+    robot: RobotState
+    objects: ObjectState
+    contact_impulse: jnp.ndarray  # [B, C, 3] last substep's impulses
+    # (warm-start cache; slots are statically identified so impulses stay
+    # meaningful across substeps)
+
+
+class StepInfo(NamedTuple):
+    """Per-step diagnostics produced inside the same jit."""
+
+    body_contact_force: jnp.ndarray  # [B, nb, 3] net contact force on robot bodies
+    obj_contact_force: jnp.ndarray  # [B, K, 3]
+    max_penetration: jnp.ndarray  # [B]
+
+
+class Scene(NamedTuple):
+    """Static scene description: the robot articulation + K free objects on a
+    table. Everything here is trace-time constant."""
+
+    model: ModelArrays
+    shapes: ObjectShapes
+    spheres: RobotSpheres
+    geom: StaticGeom
+    slots: ContactSlots
+    kp: jnp.ndarray  # [nv]
+    kd: jnp.ndarray  # [nv]
+    gravity: jnp.ndarray  # [3]
+    base_pos: jnp.ndarray  # [3]
+    base_quat: jnp.ndarray  # [4]
+    params: SimParams
+    # static one-hot scatter maps for contact-force aggregation
+    slot_to_body: jnp.ndarray  # [C, nb]
+    slot_to_obj: jnp.ndarray  # [C, K]
+
+
+def build_scene(
+    art: Articulation,
+    shapes: ObjectShapes,
+    spheres: RobotSpheres,
+    geom: StaticGeom,
+    kp,
+    kd,
+    base_pos=(0.0, 0.0, 0.0),
+    base_quat=(1.0, 0.0, 0.0, 0.0),
+    params: SimParams = SimParams(),
+    dtype=jnp.float32,
+) -> Scene:
+    m = model_arrays(art, dtype)
+    slots = make_contact_slots(shapes, spheres, static_friction=1.0)
+    C = slots.num_slots
+    nb, K = art.nv, shapes.num_objects
+    s2b = np.zeros((C, nb), dtype=np.float32)
+    s2o = np.zeros((C, max(K, 1)), dtype=np.float32)
+    for c in range(C):
+        if slots.robot_body[c] >= 0:
+            s2b[c, slots.robot_body[c]] = 1.0
+        if slots.obj_a[c] >= 0:
+            s2o[c, slots.obj_a[c]] = 1.0
+        if slots.obj_b[c] >= 0:
+            s2o[c, slots.obj_b[c]] -= 1.0  # equal and opposite
+    return Scene(
+        model=m,
+        shapes=shapes,
+        spheres=spheres,
+        geom=geom,
+        slots=slots,
+        kp=jnp.asarray(kp, dtype),
+        kd=jnp.asarray(kd, dtype),
+        gravity=jnp.asarray([0.0, 0.0, -9.81], dtype),
+        base_pos=jnp.asarray(base_pos, dtype),
+        base_quat=jnp.asarray(base_quat, dtype),
+        params=params,
+        slot_to_body=jnp.asarray(s2b),
+        slot_to_obj=jnp.asarray(s2o),
+    )
+
+
+def substep(scene: Scene, state: PhysicsState):
+    m = scene.model
+    p = scene.params
+    h = p.dt / p.substeps
+    q, qd, targets = state.robot
+    opos, oquat, olin, oang = state.objects
+    B = q.shape[0]
+
+    fk = forward_kinematics(m, q, scene.base_quat[None], scene.base_pos[None])
+    dyn = compute_dyn(m, fk, qd, scene.gravity, scene.kp, scene.kd, h)
+    tau = stable_pd_torque(q, qd, targets, scene.kp, scene.kd, h, m.effort_limit)
+    qd_free = qd + h * chol_solve(dyn.chol, tau - dyn.bias)
+
+    olin_free = olin + h * scene.gravity
+    oang_free = oang + gyroscopic_delta(oquat, scene.shapes.inertia_diag, oang, h)
+
+    contacts = generate_contacts(
+        scene.slots, scene.shapes, scene.spheres, scene.geom,
+        opos, oquat, fk.body_quat, fk.body_pos,
+    )
+    out = solve_contacts(
+        m, fk, dyn.chol, scene.slots, contacts, scene.shapes,
+        opos, oquat, qd_free, olin_free, oang_free, h, p.solver,
+        warm_lam=state.contact_impulse,
+    )
+
+    # integrate
+    qd_new = jnp.clip(out.qd, -m.velocity_limit * 4.0, m.velocity_limit * 4.0)
+    q_new = q + h * qd_new
+    # hard joint limits: clamp position, kill outward velocity
+    low, high = m.q_min + p.joint_limit_margin, m.q_max - p.joint_limit_margin
+    below, above = q_new < low, q_new > high
+    q_new = jnp.clip(q_new, low, high)
+    qd_new = jnp.where(below, jnp.maximum(qd_new, 0.0), qd_new)
+    qd_new = jnp.where(above, jnp.minimum(qd_new, 0.0), qd_new)
+
+    opos_new, oquat_new = free_body_integrate(opos, oquat, out.obj_linvel, out.obj_angvel, h)
+
+    # contact force diagnostics (world frame), from accumulated impulses
+    from handarm_tpu.physics.solver import _tangent_basis
+
+    t1, t2 = _tangent_basis(contacts.normal)
+    f_slot = (
+        out.impulse[..., 0:1] * contacts.normal
+        + out.impulse[..., 1:2] * t1
+        + out.impulse[..., 2:3] * t2
+    ) / h  # [B, C, 3]
+    body_f = jnp.einsum("bci,cn->bni", f_slot, scene.slot_to_body)
+    obj_f = jnp.einsum("bci,ck->bki", -f_slot, scene.slot_to_obj)
+    info = StepInfo(
+        body_contact_force=body_f,
+        obj_contact_force=obj_f,
+        max_penetration=jnp.max(jnp.maximum(contacts.depth, 0.0), axis=-1),
+    )
+
+    new_state = PhysicsState(
+        robot=RobotState(q=q_new, qd=qd_new, targets=targets),
+        objects=ObjectState(pos=opos_new, quat=oquat_new, linvel=out.obj_linvel, angvel=out.obj_angvel),
+        contact_impulse=out.impulse,
+    )
+    return new_state, info
+
+
+def step(scene: Scene, state: PhysicsState):
+    """One outer sim step (dt) = `substeps` contact-resolved substeps."""
+
+    def body(s, _):
+        return substep(scene, s)
+
+    state, infos = jax.lax.scan(body, state, None, length=scene.params.substeps)
+    # report last-substep diagnostics
+    info = jax.tree.map(lambda x: x[-1], infos)
+    return state, info
+
+
+def initial_state(
+    scene: Scene,
+    B: int,
+    q0: jnp.ndarray | None = None,
+    obj_pos0: jnp.ndarray | None = None,
+    obj_quat0: jnp.ndarray | None = None,
+    dtype=jnp.float32,
+) -> PhysicsState:
+    nv = scene.model.nv
+    K = scene.shapes.num_objects
+    q = jnp.zeros((B, nv), dtype) if q0 is None else jnp.broadcast_to(q0, (B, nv)).astype(dtype)
+    opos = (
+        jnp.zeros((B, K, 3), dtype)
+        if obj_pos0 is None
+        else jnp.broadcast_to(obj_pos0, (B, K, 3)).astype(dtype)
+    )
+    oquat = (
+        jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0], dtype), (B, K, 4))
+        if obj_quat0 is None
+        else jnp.broadcast_to(obj_quat0, (B, K, 4)).astype(dtype)
+    )
+    return PhysicsState(
+        robot=RobotState(q=q, qd=jnp.zeros((B, nv), dtype), targets=q),
+        objects=ObjectState(
+            pos=opos,
+            quat=oquat,
+            linvel=jnp.zeros((B, K, 3), dtype),
+            angvel=jnp.zeros((B, K, 3), dtype),
+        ),
+        contact_impulse=jnp.zeros((B, scene.slots.num_slots, 3), dtype),
+    )

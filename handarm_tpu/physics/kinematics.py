@@ -1,0 +1,183 @@
+"""Batched forward kinematics for compiled articulations.
+
+All functions broadcast over a leading batch (env) dimension and unroll the
+(static, small) kinematic tree as straight-line XLA code — the idiomatic TPU
+replacement for PhysX's articulation sweep (reference consumes it via
+gym.acquire_rigid_body_state_tensor, isaacgymenvs/tasks/hand_arm/base/
+observable_vec_task.py:123-181).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from handarm_tpu.math.quat import (
+    quat_from_axis_angle,
+    quat_mul,
+    quat_rotate,
+)
+from handarm_tpu.physics.model import PRISMATIC, REVOLUTE, Articulation
+
+
+class ModelArrays(NamedTuple):
+    """Device-resident view of an Articulation (unbatched constants)."""
+
+    tree_pos: jnp.ndarray  # [nv, 3]
+    tree_quat: jnp.ndarray  # [nv, 4]
+    axis: jnp.ndarray  # [nv, 3]
+    mass: jnp.ndarray  # [nv]
+    com: jnp.ndarray  # [nv, 3]
+    inertia: jnp.ndarray  # [nv, 3, 3]
+    q_min: jnp.ndarray
+    q_max: jnp.ndarray
+    effort_limit: jnp.ndarray
+    velocity_limit: jnp.ndarray
+    joint_damping: jnp.ndarray
+    armature: jnp.ndarray
+    # static topology, kept as numpy so python loops unroll
+    parent: np.ndarray
+    joint_type: np.ndarray
+    ancestor_mask: jnp.ndarray  # [nb, nv]
+    nv: int
+
+
+def model_arrays(art: Articulation, dtype=jnp.float32) -> ModelArrays:
+    f = lambda x: jnp.asarray(x, dtype=dtype)
+    return ModelArrays(
+        tree_pos=f(art.tree_pos),
+        tree_quat=f(art.tree_quat),
+        axis=f(art.axis),
+        mass=f(art.mass),
+        com=f(art.com),
+        inertia=f(art.inertia),
+        q_min=f(art.q_min),
+        q_max=f(art.q_max),
+        effort_limit=f(art.effort_limit),
+        velocity_limit=f(art.velocity_limit),
+        joint_damping=f(art.joint_damping),
+        armature=f(art.armature),
+        parent=art.parent,
+        joint_type=art.joint_type,
+        ancestor_mask=f(art.ancestor_mask),
+        nv=art.nv,
+    )
+
+
+class FK(NamedTuple):
+    """World-frame kinematics for every moving body; batch-leading shapes."""
+
+    body_quat: jnp.ndarray  # [B, nb, 4]
+    body_pos: jnp.ndarray  # [B, nb, 3]
+    screw: jnp.ndarray  # [B, nv, 6] world Plücker joint screws (ang, lin)
+
+
+def forward_kinematics(
+    m: ModelArrays,
+    q: jnp.ndarray,
+    base_quat: jnp.ndarray | None = None,
+    base_pos: jnp.ndarray | None = None,
+) -> FK:
+    """q: [B, nv]. base pose: [B?, 4]/[B?, 3] world pose of the fixed base."""
+    B = q.shape[0]
+    if base_quat is None:
+        base_quat = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0], q.dtype), (B, 4))
+    else:
+        base_quat = jnp.broadcast_to(base_quat, (B, 4))
+    if base_pos is None:
+        base_pos = jnp.zeros((B, 3), q.dtype)
+    else:
+        base_pos = jnp.broadcast_to(base_pos, (B, 3))
+
+    quats, poss, screws = [], [], []
+    for i in range(m.nv):
+        p = int(m.parent[i])
+        pq = base_quat if p < 0 else quats[p]
+        pp = base_pos if p < 0 else poss[p]
+        # parent frame -> joint child frame at q=0
+        jq = quat_mul(pq, jnp.broadcast_to(m.tree_quat[i], (B, 4)))
+        jp = pp + quat_rotate(pq, jnp.broadcast_to(m.tree_pos[i], (B, 3)))
+        axis_b = jnp.broadcast_to(m.axis[i], (B, 3))
+        if m.joint_type[i] == REVOLUTE:
+            bq = quat_mul(jq, quat_from_axis_angle(axis_b, q[:, i]))
+            bp = jp
+            a_w = quat_rotate(bq, axis_b)
+            screws.append(jnp.concatenate([a_w, jnp.cross(bp, a_w)], axis=-1))
+        elif m.joint_type[i] == PRISMATIC:
+            bq = jq
+            a_w = quat_rotate(bq, axis_b)
+            bp = jp + a_w * q[:, i : i + 1]
+            screws.append(jnp.concatenate([jnp.zeros_like(a_w), a_w], axis=-1))
+        else:
+            raise NotImplementedError
+        # materialize each joint's pose: without this barrier XLA:CPU's
+        # fusion duplicates the upstream quaternion chain per consumer,
+        # giving exponential recompute along the kinematic chain
+        bq, bp = jax.lax.optimization_barrier((bq, bp))
+        quats.append(bq)
+        poss.append(bp)
+
+    return FK(
+        body_quat=jnp.stack(quats, axis=1),
+        body_pos=jnp.stack(poss, axis=1),
+        screw=jnp.stack(screws, axis=1),
+    )
+
+
+def body_velocities(m: ModelArrays, fk: FK, qd: jnp.ndarray) -> jnp.ndarray:
+    """Spatial velocities per moving body in origin Plücker coords: [B, nb, 6].
+
+    v_i = sum_{j ancestor-of i} s_j * qd_j  — one masked matmul.
+    """
+    sv = fk.screw * qd[..., None]  # [B, nv, 6]
+    return jnp.einsum("nj,bja->bna", m.ancestor_mask, sv)
+
+
+def site_poses(
+    fk: FK,
+    site_body: np.ndarray,
+    site_pos: jnp.ndarray,
+    site_quat: jnp.ndarray,
+    base_quat: jnp.ndarray | None = None,
+    base_pos: jnp.ndarray | None = None,
+):
+    """World poses of named sites. site_body: [S] int (may be -1 for base).
+
+    Returns (quat [B, S, 4], pos [B, S, 3]).
+    """
+    B = fk.body_pos.shape[0]
+    if base_quat is None:
+        base_quat = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0], fk.body_pos.dtype), (B, 4))
+    if base_pos is None:
+        base_pos = jnp.zeros((B, 3), fk.body_pos.dtype)
+    # gather parent body poses (base pose for body == -1)
+    bq = jnp.concatenate([fk.body_quat, base_quat[:, None]], axis=1)
+    bp = jnp.concatenate([fk.body_pos, base_pos[:, None]], axis=1)
+    idx = jnp.asarray(np.where(site_body < 0, fk.body_pos.shape[1], site_body))
+    pq = bq[:, idx]  # [B, S, 4]
+    pp = bp[:, idx]
+    wq = quat_mul(pq, site_quat[None])
+    wp = pp + quat_rotate(pq, site_pos[None])
+    return wq, wp
+
+
+def point_jacobian(
+    m: ModelArrays, fk: FK, body_idx: jnp.ndarray, point_world: jnp.ndarray
+) -> jnp.ndarray:
+    """Translational Jacobian of world points attached to moving bodies.
+
+    body_idx: [B, C] int (which moving body each point rides on),
+    point_world: [B, C, 3]. Returns J: [B, C, 3, nv] with
+    J[..., u] = anc[body, u] * (s_lin_u + s_ang_u x p).
+    """
+    s_ang = fk.screw[..., :3]  # [B, nv, 3]
+    s_lin = fk.screw[..., 3:]
+    # [B, C, nv, 3]
+    vel = s_lin[:, None] + jnp.cross(
+        s_ang[:, None], point_world[:, :, None, :]
+    )
+    mask = m.ancestor_mask[body_idx]  # [B, C, nv]
+    return jnp.swapaxes(vel * mask[..., None], -1, -2)  # [B, C, 3, nv]

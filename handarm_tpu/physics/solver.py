@@ -1,0 +1,332 @@
+"""Batched contact solver: vectorized relaxed-Jacobi (default) or
+sequential-impulse Gauss-Seidel.
+
+TPU-native replacement for PhysX's GPU TGS constraint solver (the reference
+budgets it at 8 position + 0 velocity iterations, isaacgymenvs/cfg/task/
+Ur5SihBase.yaml sim block). Two modes:
+
+- "jacobi": every sweep updates ALL contact slots simultaneously with an
+  under-relaxation factor — each sweep is a handful of batched einsums over
+  [B, C, ...], the scan body is tiny (fast XLA compile, MXU-friendly), and
+  the sequential depth is just `iterations`. Object scatter/gather uses
+  static one-hot maps (slot participants are compile-time constants).
+- "gs": classic sequential impulses, one slot at a time (statically
+  unrolled) — the PhysX-faithful reference implementation used for solver
+  cross-checks; sequential depth iterations*C makes it slower to compile
+  and run.
+
+Both operate on the PD-augmented robot inertia (same Mtilde as free
+dynamics — consistent implicit PD) and closed-form rigid-body inverse
+inertia for objects. Friction is a Coulomb-disk projection on accumulated
+impulses; positional correction is Baumgarte bias capped by a max
+depenetration velocity.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from handarm_tpu.math.quat import skew
+from handarm_tpu.physics.contacts import Contacts, ContactSlots
+from handarm_tpu.physics.dynamics import chol_solve, free_body_inv_inertia_world
+from handarm_tpu.physics.kinematics import FK, ModelArrays, point_jacobian
+from handarm_tpu.physics.shapes import ObjectShapes
+
+
+class SolverParams(NamedTuple):
+    iterations: int = 16
+    baumgarte: float = 0.3
+    slop: float = 0.001
+    warm_start: float = 0.9  # fraction of last substep's impulses reapplied
+    max_depenetration_vel: float = 2.0
+    activation_margin: float = 0.0
+    restitution: float = 0.0
+    mode: str = "jacobi"  # "jacobi" (vectorized, default) | "gs" (sequential)
+    relaxation: float = 0.55  # under-relaxation for jacobi sweeps
+    speculative_margin: float = 0.02  # activate contacts within this gap
+
+
+class SolverOut(NamedTuple):
+    qd: jnp.ndarray  # [B, nv]
+    obj_linvel: jnp.ndarray  # [B, K, 3]
+    obj_angvel: jnp.ndarray  # [B, K, 3]
+    impulse: jnp.ndarray  # [B, C, 3] accumulated (n, t1, t2) impulses
+
+
+def _tangent_basis(n: jnp.ndarray):
+    """Robust orthonormal tangents for unit normals n: [..., 3]."""
+    ax = jnp.where(
+        jnp.abs(n[..., 0:1]) < 0.9,
+        jnp.array([1.0, 0.0, 0.0], n.dtype),
+        jnp.array([0.0, 1.0, 0.0], n.dtype),
+    )
+    t1 = jnp.cross(n, ax)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
+class _Prep(NamedTuple):
+    """Precomputed per-substep solver quantities."""
+
+    active: jnp.ndarray  # [B, C]
+    basis: jnp.ndarray  # [B, C, 3(dir), 3(xyz)]
+    inv_d: jnp.ndarray  # [B, C, 3] masked inverse effective mass per direction
+    bias: jnp.ndarray  # [B, C]
+    mu: jnp.ndarray  # [B, C] (zeroed while not yet touching)
+    J: jnp.ndarray  # [B, C, 3, nv]
+    MinvJT: jnp.ndarray  # [B, C, nv, 3]
+    has_robot: np.ndarray  # [C] bool (static)
+    sides: dict  # side -> (kidx [C], r [B,C,3], Iinv_c [B,C,3,3], invm [C], mask [C], sign, onehot [C,K])
+
+
+def _prepare(
+    m, fk, chol, slots, contacts, shapes, obj_pos, obj_quat, h, params
+):
+    B, C = contacts.depth.shape
+    K = shapes.num_objects
+    nv = m.nv
+    dtype = contacts.depth.dtype
+
+    # speculative activation (PhysX contact-offset analog): slots within the
+    # margin participate; non-penetrating ones get a gap-closing bias that
+    # lets them approach at exactly gap/h — no tunneling at impact speed.
+    active = (contacts.depth > -params.speculative_margin).astype(dtype)
+    n = contacts.normal
+    t1, t2 = _tangent_basis(n)
+    basis = jnp.stack([n, t1, t2], axis=2)
+
+    has_robot = slots.robot_body >= 0
+    if has_robot.any():
+        body_idx_np = np.where(has_robot, slots.robot_body, 0)
+        body_idx = jnp.broadcast_to(jnp.asarray(body_idx_np), (B, C))
+        J = point_jacobian(m, fk, body_idx, contacts.pos)
+        J = J * jnp.asarray(has_robot, dtype)[None, :, None, None]
+        rhs = jnp.moveaxis(J, -1, 1).reshape(B, nv, C * 3)
+        MinvJT = chol_solve(chol, rhs).reshape(B, nv, C, 3)
+        MinvJT = jnp.moveaxis(MinvJT, 2, 1)  # [B, C, nv, 3]
+        D = jnp.einsum("bciv,bcvj->bcij", J, MinvJT)
+    else:
+        J = jnp.zeros((B, C, 3, nv), dtype)
+        MinvJT = jnp.zeros((B, C, nv, 3), dtype)
+        D = jnp.zeros((B, C, 3, 3), dtype)
+
+    if K:
+        Iinv_w = free_body_inv_inertia_world(obj_quat, shapes.inertia_diag)
+
+    eye3 = jnp.eye(3, dtype=dtype)
+    sides = {}
+    for side, idx_arr, sign in (("a", slots.obj_a, 1.0), ("b", slots.obj_b, -1.0)):
+        has = idx_arr >= 0
+        if K == 0 or not has.any():
+            sides[side] = None
+            continue
+        kidx = np.where(has, idx_arr, 0)
+        r = contacts.pos - obj_pos[:, kidx]
+        Iinv_c = Iinv_w[:, kidx]
+        invm_c = shapes.inv_mass[kidx]
+        mask = jnp.asarray(has, dtype)
+        rx = skew(r)
+        D_obj = invm_c[None, :, None, None] * eye3 + jnp.einsum(
+            "bcji,bcjk,bckl->bcil", rx, Iinv_c, rx
+        )
+        D = D + D_obj * mask[None, :, None, None]
+        onehot = np.zeros((C, K), np.float32)
+        onehot[np.arange(C)[has], idx_arr[has]] = 1.0
+        sides[side] = (
+            kidx, r, Iinv_c, invm_c, mask, sign, jnp.asarray(onehot, dtype)
+        )
+
+    DB = jnp.einsum("bcdi,bcij,bcej->bcde", basis, D, basis)
+    d_eff = jnp.maximum(jnp.einsum("bcdd->bcd", DB), 1e-8)
+    inv_d = active[..., None] / d_eff
+
+    bias = jnp.where(
+        contacts.depth >= 0.0,
+        jnp.minimum(
+            params.baumgarte / h * jnp.maximum(contacts.depth - params.slop, 0.0),
+            params.max_depenetration_vel,
+        ),
+        contacts.depth / h,  # negative: may approach at most gap/h
+    )
+    # friction only once actually touching
+    mu = jnp.asarray(slots.friction, dtype)[None] * (contacts.depth > 0.0)
+    return _Prep(
+        active=active, basis=basis, inv_d=inv_d, bias=bias, mu=mu,
+        J=J, MinvJT=MinvJT, has_robot=has_robot, sides=sides,
+    )
+
+
+def _rel_velocity(prep: _Prep, qd, lv, av):
+    """World relative velocity at every slot (A side minus B side): [B,C,3]."""
+    v = jnp.einsum("bciv,bv->bci", prep.J, qd)
+    for side in ("a", "b"):
+        sd = prep.sides[side]
+        if sd is None:
+            continue
+        kidx, r, _, _, mask, sign, _ = sd
+        v_pt = lv[:, kidx] + jnp.cross(av[:, kidx], r)
+        v = v + sign * v_pt * mask[None, :, None]
+    return v
+
+
+def _apply_impulses(prep: _Prep, qd, lv, av, dP):
+    """Apply world impulses dP [B, C, 3] (+ to robot/objA, - to objB)."""
+    qd = qd + jnp.einsum("bcvi,bci->bv", prep.MinvJT, dP)
+    for side in ("a", "b"):
+        sd = prep.sides[side]
+        if sd is None:
+            continue
+        kidx, r, Iinv_c, invm_c, mask, sign, onehot = sd
+        dPm = dP * mask[None, :, None]
+        lv = lv + sign * jnp.einsum(
+            "bci,ck->bki", dPm * invm_c[None, :, None], onehot
+        )
+        dw = jnp.einsum("bcij,bcj->bci", Iinv_c, jnp.cross(r, dPm))
+        av = av + sign * jnp.einsum("bci,ck->bki", dw, onehot)
+    return qd, lv, av
+
+
+def _project(prep: _Prep, lam, v):
+    """One projected update of accumulated impulses given slot velocities v.
+
+    Returns the projected new lambda (before relaxation)."""
+    vn = jnp.einsum("bci,bci->bc", v, prep.basis[:, :, 0])
+    vt1 = jnp.einsum("bci,bci->bc", v, prep.basis[:, :, 1])
+    vt2 = jnp.einsum("bci,bci->bc", v, prep.basis[:, :, 2])
+    new_n = jnp.maximum(lam[..., 0] + (prep.bias - vn) * prep.inv_d[..., 0], 0.0)
+    ft1 = lam[..., 1] - vt1 * prep.inv_d[..., 1]
+    ft2 = lam[..., 2] - vt2 * prep.inv_d[..., 2]
+    fmag = jnp.sqrt(ft1 * ft1 + ft2 * ft2)
+    fmax = prep.mu * new_n
+    scale = jnp.where(fmag > fmax, fmax / jnp.maximum(fmag, 1e-9), 1.0)
+    return jnp.stack([new_n, ft1 * scale, ft2 * scale], axis=-1)
+
+
+def _solve_jacobi(prep: _Prep, qd, lv, av, lam0, params: SolverParams):
+    omega = params.relaxation
+
+    def sweep(carry, _):
+        qd, lv, av, lam = carry
+        v = _rel_velocity(prep, qd, lv, av)
+        lam_new = _project(prep, lam, v)
+        dlam = omega * (lam_new - lam) * prep.active[..., None]
+        lam = lam + dlam
+        dP = jnp.einsum("bcd,bcdi->bci", dlam, prep.basis)
+        qd, lv, av = _apply_impulses(prep, qd, lv, av, dP)
+        return (qd, lv, av, lam), None
+
+    (qd, lv, av, lam), _ = jax.lax.scan(
+        sweep, (qd, lv, av, lam0), None, length=params.iterations
+    )
+    return qd, lv, av, lam
+
+
+def _solve_gs(prep: _Prep, qd, lv, av, lam0, params: SolverParams):
+    """Sequential impulses with a scan over slots (gathered per-slot data).
+
+    Object participation uses one-hot rows so the scan body stays static."""
+    C = prep.active.shape[1]
+
+    def slot_update(carry, c):
+        qd, lv, av, lam = carry
+        basis_c = prep.basis[:, c]  # [B, 3, 3]
+        Jc = prep.J[:, c]
+        v = jnp.einsum("biv,bv->bi", Jc, qd)
+        for side in ("a", "b"):
+            sd = prep.sides[side]
+            if sd is None:
+                continue
+            kidx, r, _, _, mask, sign, onehot = sd
+            kvec = onehot[c]  # [K] one-hot (zero row if no participant)
+            lv_c = jnp.einsum("bki,k->bi", lv, kvec)
+            av_c = jnp.einsum("bki,k->bi", av, kvec)
+            v = v + sign * (lv_c + jnp.cross(av_c, r[:, c])) * mask[c]
+        vn = jnp.einsum("bi,bi->b", v, basis_c[:, 0])
+        vt1 = jnp.einsum("bi,bi->b", v, basis_c[:, 1])
+        vt2 = jnp.einsum("bi,bi->b", v, basis_c[:, 2])
+        lam_c = lam[:, c]
+        new_n = jnp.maximum(
+            lam_c[:, 0] + (prep.bias[:, c] - vn) * prep.inv_d[:, c, 0], 0.0
+        )
+        ft1 = lam_c[:, 1] - vt1 * prep.inv_d[:, c, 1]
+        ft2 = lam_c[:, 2] - vt2 * prep.inv_d[:, c, 2]
+        fmag = jnp.sqrt(ft1 * ft1 + ft2 * ft2)
+        fmax = prep.mu[:, c] * new_n
+        scale = jnp.where(fmag > fmax, fmax / jnp.maximum(fmag, 1e-9), 1.0)
+        new_lam = jnp.stack([new_n, ft1 * scale, ft2 * scale], axis=-1)
+        dlam = (new_lam - lam_c) * prep.active[:, c : c + 1]
+        lam = lam.at[:, c].add(dlam)
+        dP = jnp.einsum("bd,bdi->bi", dlam, basis_c)
+        qd = qd + jnp.einsum("bvi,bi->bv", prep.MinvJT[:, c], dP)
+        for side in ("a", "b"):
+            sd = prep.sides[side]
+            if sd is None:
+                continue
+            kidx, r, Iinv_c, invm_c, mask, sign, onehot = sd
+            kvec = onehot[c]
+            dPm = dP * mask[c]
+            lv = lv + sign * jnp.einsum(
+                "bi,k->bki", dPm * invm_c[c], kvec
+            )
+            dw = jnp.einsum("bij,bj->bi", Iinv_c[:, c], jnp.cross(r[:, c], dPm))
+            av = av + sign * jnp.einsum("bi,k->bki", dw, kvec)
+        return (qd, lv, av, lam), None
+
+    def sweep(carry, _):
+        return jax.lax.scan(slot_update, carry, jnp.arange(C)), None
+
+    def sweep_body(carry, _):
+        (carry, _), _ = sweep(carry, None)
+        return carry, None
+
+    carry = (qd, lv, av, lam0)
+    carry, _ = jax.lax.scan(sweep_body, carry, None, length=params.iterations)
+    return carry
+
+
+def solve_contacts(
+    m: ModelArrays,
+    fk: FK,
+    chol: jnp.ndarray,
+    slots: ContactSlots,
+    contacts: Contacts,
+    shapes: ObjectShapes,
+    obj_pos: jnp.ndarray,
+    obj_quat: jnp.ndarray,
+    qd: jnp.ndarray,
+    obj_linvel: jnp.ndarray,
+    obj_angvel: jnp.ndarray,
+    h: float,
+    params: SolverParams = SolverParams(),
+    warm_lam: jnp.ndarray | None = None,  # [B, C, 3] last substep's impulses
+) -> SolverOut:
+    prep = _prepare(
+        m, fk, chol, slots, contacts, shapes, obj_pos, obj_quat, h, params
+    )
+    B, C = prep.active.shape
+    if warm_lam is None or params.warm_start <= 0.0:
+        lam0 = jnp.zeros((B, C, 3), qd.dtype)
+    else:
+        # warm start: re-apply a fraction of last substep's impulses up
+        # front; iterations then solve for the (small) correction
+        lam0 = params.warm_start * warm_lam * prep.active[..., None]
+        dP0 = jnp.einsum("bcd,bcdi->bci", lam0, prep.basis)
+        qd, obj_linvel, obj_angvel = _apply_impulses(
+            prep, qd, obj_linvel, obj_angvel, dP0
+        )
+    if params.mode == "jacobi":
+        qd, lv, av, lam = _solve_jacobi(
+            prep, qd, obj_linvel, obj_angvel, lam0, params
+        )
+    elif params.mode == "gs":
+        qd, lv, av, lam = _solve_gs(
+            prep, qd, obj_linvel, obj_angvel, lam0, params
+        )
+    else:
+        raise ValueError(params.mode)
+    return SolverOut(qd=qd, obj_linvel=lv, obj_angvel=av, impulse=lam)

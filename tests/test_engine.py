@@ -1,0 +1,138 @@
+"""End-to-end physics engine behavior: drops, resting contact, friction."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from handarm_tpu.physics.contacts import RobotSpheres, StaticGeom
+from handarm_tpu.physics.engine import (
+    PhysicsState,
+    SimParams,
+    build_scene,
+    initial_state,
+    step,
+)
+from handarm_tpu.physics.model import compile_urdf
+from handarm_tpu.physics.shapes import make_box_object, make_sphere_object, stack_objects
+
+HAND_ARM_URDF = "/root/reference/assets/hand_arm/robot/hand_arm.urdf"
+
+TINY_ARM = """
+<robot name="tiny">
+  <link name="base"/>
+  <joint name="j1" type="revolute">
+    <parent link="base"/><child link="l1"/>
+    <origin xyz="0 0 0.1"/><axis xyz="0 1 0"/>
+    <limit lower="-3" upper="3" effort="50" velocity="10"/>
+  </joint>
+  <link name="l1">
+    <inertial><mass value="1.0"/><origin xyz="0.2 0 0"/>
+      <inertia ixx="0.01" ixy="0" ixz="0" iyy="0.01" iyz="0" izz="0.01"/></inertial>
+  </link>
+</robot>
+"""
+
+
+def tiny_scene(tmp_path, objs, table_height=0.0, spheres=None, substeps=2):
+    p = tmp_path / "tiny.urdf"
+    p.write_text(TINY_ARM)
+    art = compile_urdf(str(p))
+    if spheres is None:
+        spheres = RobotSpheres(
+            body=np.array([0], dtype=np.int32),
+            offset=jnp.asarray([[0.4, 0.0, 0.0]], jnp.float32),
+            radius=jnp.asarray([0.05], jnp.float32),
+            friction=jnp.asarray([1.0], jnp.float32),
+        )
+    geom = StaticGeom(
+        table_lo=jnp.asarray([-10.0, -10.0]),
+        table_hi=jnp.asarray([10.0, 10.0]),
+        table_height=jnp.asarray(table_height),
+        friction=jnp.asarray(1.0),
+    )
+    shapes = stack_objects(objs)
+    scene = build_scene(
+        art, shapes, spheres, geom,
+        kp=np.full(art.nv, 50.0), kd=np.full(art.nv, 5.0),
+        base_pos=(0.0, 0.0, 1.0),
+        params=SimParams(substeps=substeps),
+    )
+    return scene
+
+
+def run_steps(scene, state, n):
+    stepj = jax.jit(lambda s: step(scene, s)[0])
+    for _ in range(n):
+        state = stepj(state)
+    return state
+
+
+def test_box_drop_settles_on_table(tmp_path):
+    scene = tiny_scene(tmp_path, [make_box_object([0.03, 0.04, 0.05], mass=0.2)], table_height=0.5)
+    state = initial_state(scene, B=4, obj_pos0=jnp.asarray([[0.5, 0.0, 0.8]]))
+    state = run_steps(scene, state, 90)  # 1.5 s
+    z = np.asarray(state.objects.pos[:, 0, 2])
+    np.testing.assert_allclose(z, 0.55, atol=0.01)  # rests on table at h + hz
+    v = np.asarray(state.objects.linvel)
+    assert np.abs(v).max() < 0.05
+
+
+def test_sphere_drop_bounces_not_through_ground(tmp_path):
+    scene = tiny_scene(tmp_path, [make_sphere_object(0.04, mass=0.1)])
+    state = initial_state(scene, B=2, obj_pos0=jnp.asarray([[0.5, 0.2, 0.6]]))
+    traj_min = 1.0
+    stepj = jax.jit(lambda s: step(scene, s)[0])
+    for _ in range(120):
+        state = stepj(state)
+        traj_min = min(traj_min, float(np.asarray(state.objects.pos[:, 0, 2]).min()))
+    assert traj_min > 0.02  # never tunnels through the ground
+    z = np.asarray(state.objects.pos[:, 0, 2])
+    np.testing.assert_allclose(z, 0.04, atol=0.01)
+
+
+def test_friction_holds_box_on_table(tmp_path):
+    """A resting box under gravity should not drift laterally."""
+    scene = tiny_scene(tmp_path, [make_box_object([0.05, 0.05, 0.02], mass=0.5)], table_height=0.3)
+    state = initial_state(scene, B=2, obj_pos0=jnp.asarray([[0.6, -0.2, 0.33]]))
+    state = run_steps(scene, state, 120)
+    xy = np.asarray(state.objects.pos[:, 0, :2])
+    np.testing.assert_allclose(xy, np.tile([[0.6, -0.2]], (2, 1)), atol=0.01)
+
+
+def test_robot_sphere_pushes_box(tmp_path):
+    """Swinging the 1-DoF arm's sphere through a box knocks it along -x.
+
+    Arm base (0,0,1), joint at z=1.1, sphere center at 0.4 m along the link
+    (radius 0.05). Rotating q: 0 -> 1.3 about +y sweeps the sphere from
+    (0.4, 0, 1.1) down/left through (0.19, 0, 0.75) — put the box there."""
+    scene = tiny_scene(
+        tmp_path, [make_box_object([0.04, 0.04, 0.04], mass=0.05)],
+        table_height=0.7,
+    )
+    state = initial_state(scene, B=1, obj_pos0=jnp.asarray([[0.19, 0.0, 0.74]]))
+    state = state._replace(
+        robot=state.robot._replace(targets=jnp.asarray([[1.3]], jnp.float32))
+    )
+    x0 = float(state.objects.pos[0, 0, 0])
+    state = run_steps(scene, state, 90)
+    x1 = float(state.objects.pos[0, 0, 0])
+    assert np.all(np.isfinite(np.asarray(state.objects.pos)))
+    assert x1 < x0 - 0.02, (x0, x1)
+
+
+def test_stack_two_boxes(tmp_path):
+    objs = [
+        make_box_object([0.05, 0.05, 0.05], mass=0.3),
+        make_box_object([0.04, 0.04, 0.04], mass=0.2),
+    ]
+    scene = tiny_scene(tmp_path, objs, table_height=0.0)
+    state = initial_state(
+        scene, B=2,
+        obj_pos0=jnp.asarray([[0.5, 0.0, 0.06], [0.5, 0.0, 0.2]]),
+    )
+    state = run_steps(scene, state, 150)
+    z = np.asarray(state.objects.pos[0, :, 2])
+    np.testing.assert_allclose(z[0], 0.05, atol=0.01)
+    np.testing.assert_allclose(z[1], 0.14, atol=0.015)  # stacked on top
