@@ -1,0 +1,126 @@
+"""Genesis: drop-initialized object pose pools.
+
+The reference's first-reset object-drop initialization (isaacgymenvs/tasks/
+hand_arm/task/multi_object_manipulation.py:93-156: drop each object from a
+randomized pose, simulate, re-drop until in the bin, settle until
+linvel < 0.01, snapshot pools) is a variable-length host loop around
+gym.simulate. TPU-native redesign: a separate bounded "genesis" jit — drop
+via a fixed-length scan, settle via a bounded lax.while_loop with an
+all-envs-settled early exit — producing pose pools that the hot step's fused
+auto-reset merely gathers from (SURVEY.md §7 hard part 3).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from handarm_tpu.math.quat import quat_from_axis_angle, quat_mul
+from handarm_tpu.physics.engine import ObjectState, PhysicsState, RobotState, step as physics_step
+
+
+class InitialPool(NamedTuple):
+    """Settled object configurations: [num_configs, B, K, ...]."""
+
+    pos: jnp.ndarray
+    quat: jnp.ndarray
+
+
+def _drop_once(env, key, drop_steps: int, settle_steps: int):
+    """Drop all objects from staggered randomized poses and settle.
+
+    Returns settled (pos [B, K, 3], quat [B, K, 4])."""
+    cfg = env.cfg
+    B = cfg.num_envs
+    K = env.cfg_num_objects
+    k_pos, k_yaw = jax.random.split(key)
+
+    drop = jnp.asarray(cfg.drop_pos, jnp.float32)
+    noise = jax.random.uniform(k_pos, (B, K, 3), minval=-1.0, maxval=1.0) * jnp.asarray(
+        cfg.drop_noise, jnp.float32
+    )
+    pos = drop[None, None] + noise
+    # stagger drop heights so objects don't start interpenetrating
+    stagger = jnp.arange(K, dtype=jnp.float32) * (
+        2.5 * jnp.max(env.scene.shapes.bound_radius) + 0.02
+    )
+    pos = pos.at[..., 2].add(stagger[None])
+    yaw = jax.random.uniform(k_yaw, (B, K), minval=-np.pi, maxval=np.pi)
+    axis = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (B, K, 3))
+    quat = quat_from_axis_angle(axis, yaw)
+
+    # robot parked in the bringup pose well above the table
+    from handarm_tpu.robots.ur5sih import BRINGUP_JOINT_CONFIG
+
+    q0 = jnp.broadcast_to(
+        jnp.asarray(BRINGUP_JOINT_CONFIG, jnp.float32), (B, env.art.nv)
+    )
+    state = PhysicsState(
+        robot=RobotState(q=q0, qd=jnp.zeros_like(q0), targets=q0),
+        objects=ObjectState(
+            pos=pos,
+            quat=quat,
+            linvel=jnp.zeros((B, K, 3), jnp.float32),
+            angvel=jnp.zeros((B, K, 3), jnp.float32),
+        ),
+        contact_impulse=jnp.zeros((B, env.scene.slots.num_slots, 3), jnp.float32),
+    )
+
+    def sim_body(s, _):
+        s, _ = physics_step(env.scene, s)
+        return s, None
+
+    state, _ = jax.lax.scan(sim_body, state, None, length=drop_steps)
+
+    # settle: bounded while_loop with all-settled early exit
+    # (reference: <=600 steps until linvel < 0.01)
+    def cond(carry):
+        s, i = carry
+        speed = jnp.max(jnp.linalg.norm(s.objects.linvel, axis=-1))
+        return (i < settle_steps) & (speed > 0.01)
+
+    def body(carry):
+        s, i = carry
+        s, _ = physics_step(env.scene, s)
+        return (s, i + 1)
+
+    state, _ = jax.lax.while_loop(cond, body, (state, jnp.asarray(0)))
+    return state.objects.pos, state.objects.quat
+
+
+def build_initial_pool(
+    env,
+    key,
+    num_configurations: int = 1,
+    drop_steps: int = 100,
+    settle_steps: int = 600,
+) -> InitialPool:
+    """Generate `num_configurations` settled configurations per env.
+
+    Out-of-workspace objects (fell off the table / out of the bin) are
+    re-placed at the spawn surface — the analog of the reference's re-drop
+    loop, bounded for jit."""
+    cfg = env.cfg
+    ws_lo = jnp.asarray(cfg.workspace_lo, jnp.float32)
+    ws_hi = jnp.asarray(cfg.workspace_hi, jnp.float32)
+
+    def one_config(key):
+        pos, quat = _drop_once(env, key, drop_steps, settle_steps)
+        # objects outside the workspace get re-placed flat at the drop xy
+        bad = jnp.any(
+            (pos < ws_lo[None, None] - 0.05) | (pos > ws_hi[None, None] + 0.05),
+            axis=-1,
+        )  # [B, K]
+        fallback_pos, fallback_quat = env._sample_object_poses(
+            jax.random.fold_in(key, 1), cfg.num_envs
+        )
+        pos = jnp.where(bad[..., None], fallback_pos, pos)
+        quat = jnp.where(bad[..., None], fallback_quat, quat)
+        return pos, quat
+
+    keys = jax.random.split(key, num_configurations)
+    pos, quat = jax.lax.map(one_config, keys)
+    return InitialPool(pos=pos, quat=quat)

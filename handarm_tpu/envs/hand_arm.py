@@ -30,6 +30,14 @@ from handarm_tpu.math.quat import (
     quat_rotate,
     quat_rotate_inv,
 )
+from handarm_tpu.envs.randomization import (
+    DRConfig,
+    DRState,
+    apply_noise,
+    init_dr_state,
+    merge_on_reset,
+    schedule_strength,
+)
 from handarm_tpu.envs.spec import Registry, obs_layout
 from handarm_tpu.physics.contacts import StaticGeom
 from handarm_tpu.physics.engine import (
@@ -112,8 +120,16 @@ class HandArmConfig:
     randomize: bool = False
     disturbance_probability: float = 0.2
     disturbance_magnitude: float = 15.0
+    dr: DRConfig = field(default_factory=DRConfig)
     clip_observations: float = 100.0
     clip_actions: float = 1.0
+    # synthetic pointclouds (reference Ur5SihMultiObject.yaml pointclouds)
+    pointcloud_average_points: int = 100
+    pointcloud_max_points: int = 128
+    # genesis drop initialization (reference drop.num_steps / num_initial_poses)
+    use_drop_init: bool = False
+    num_initial_poses: int = 1
+    drop_num_steps: int = 100
 
 
 class ControlState(NamedTuple):
@@ -129,6 +145,8 @@ class TaskState(NamedTuple):
     goal_reached_before: jnp.ndarray  # [B] bool
     initial_obj_pos: jnp.ndarray  # [B, K, 3] positions at episode start
     key: jnp.ndarray  # PRNG key (uint32[2] or typed key), shared across batch
+    total_steps: jnp.ndarray | None = None  # global step count (DR schedule)
+    dr: DRState | None = None  # per-env frozen randomizations
 
 
 class Metrics(NamedTuple):
@@ -155,6 +173,7 @@ class StepResult(NamedTuple):
     reward: jnp.ndarray  # [B]
     done: jnp.ndarray  # [B] bool
     info: dict
+    obs_dict: dict = {}  # non-flat observables (pointclouds etc.) by key
 
 
 # ---------------------------------------------------------------------------
@@ -162,10 +181,20 @@ class StepResult(NamedTuple):
 
 
 class ObsContext:
-    def __init__(self, env: "HandArmEnv", state: EnvState, info: StepInfo | None):
+    def __init__(
+        self,
+        env: "HandArmEnv",
+        state: EnvState,
+        info: StepInfo | None,
+        obs_key: jnp.ndarray | None = None,
+    ):
         self.env = env
         self.state = state
         self.info = info
+        # rng for stochastic observables (pointcloud subsampling, obs noise)
+        self.obs_key = (
+            obs_key if obs_key is not None else jax.random.PRNGKey(0)
+        )
         self._cache: dict[str, Any] = {}
 
     def _get(self, name, fn):
@@ -407,6 +436,13 @@ class HandArmEnv:
             jnp.asarray(art.q_max[:6], jnp.float32),
         )
         self.cfg_num_objects = shapes.num_objects
+        from handarm_tpu.physics.shapes import sphere_points
+        from handarm_tpu.robots.ur5sih import ur5sih_surface_cloud
+
+        rb, ro = ur5sih_surface_cloud(cfg.pointcloud_max_points)
+        self.robot_cloud_bodies = rb
+        self.robot_cloud_offsets = jnp.asarray(ro, jnp.float32)
+        self.goal_cloud_points = jnp.asarray(sphere_points(0.02, 16), jnp.float32)
         self._register_dynamic_observables()
         self.active_obs = REGISTRY.resolve_observables(list(cfg.observations))
         self.obs_slices, self.num_obs = obs_layout(
@@ -425,6 +461,20 @@ class HandArmEnv:
         self.active_actions = REGISTRY.resolve_actionables(list(cfg.actions))
         self.num_actions = sum(a.size for a in self.active_actions)
         self.reset_q = jnp.asarray(RESET_JOINT_CONFIG, jnp.float32)
+        self.initial_pool = None  # set by initialize_pool / first reset
+
+    def initialize_pool(self, key) -> None:
+        """Run the genesis drop-settle jit once and cache the pose pool
+        (reference first-reset drop initialization, SURVEY.md §3.4)."""
+        from handarm_tpu.envs.genesis import build_initial_pool
+
+        self.initial_pool = jax.jit(
+            lambda k: build_initial_pool(
+                self, k,
+                num_configurations=self.cfg.num_initial_poses,
+                drop_steps=self.cfg.drop_num_steps,
+            )
+        )(key)
 
     # --- helpers ------------------------------------------------------------
 
@@ -500,6 +550,97 @@ class HandArmEnv:
             "target_object_to_goal_pos", 3,
             lambda ctx: ctx.state.task.goal_pos - ctx.target_object_pos,
         )
+        self._register_pointcloud_observables()
+
+    def _register_pointcloud_observables(self):
+        """Synthetic pointcloud observables, routed into obs_dict under their
+        own keys (reference observable_vec_task.py:183-203; cloud building
+        mirrors multi_object.py:774-819 and ur5sih.py:347-374)."""
+        from handarm_tpu.envs import pointcloud as pc
+
+        K = self.cfg_num_objects
+        P_out = self.cfg.pointcloud_max_points
+        reg = REGISTRY
+
+        def object_cloud(ctx, types=None):
+            obj = ctx.state.physics.objects
+            clouds = []
+            for k in range(K):
+                typ = pc.REGULAR if types is None else types
+                c = pc.transform_cloud(
+                    self.scene.shapes.points[k],
+                    self.scene.shapes.point_mask[k],
+                    obj.quat[:, k], obj.pos[:, k],
+                    point_type=typ,
+                )
+                clouds.append(c)
+            return pc.merge_clouds(*clouds)
+
+        def obs_object_cloud(ctx):
+            return pc.subsample_pad(object_cloud(ctx), ctx.obs_key, P_out)
+
+        reg.observables["object_synthetic_pointcloud"] = _mk_obs(
+            "object_synthetic_pointcloud", P_out * 4, obs_object_cloud,
+            key="object_synthetic_pointcloud",
+        )
+
+        def obs_target_cloud(ctx):
+            t = ctx.state.task.target_obj
+            pts = self.scene.shapes.points[t]  # [B, P, 3]
+            mask = self.scene.shapes.point_mask[t]
+            c = pc.transform_cloud(
+                pts, mask, ctx.target_object_quat, ctx.target_object_pos,
+                point_type=pc.TARGET,
+            )
+            return pc.subsample_pad(c, ctx.obs_key, P_out)
+
+        reg.observables["target_object_synthetic_pointcloud"] = _mk_obs(
+            "target_object_synthetic_pointcloud", P_out * 4, obs_target_cloud,
+            key="target_object_synthetic_pointcloud",
+        )
+
+        def obs_robot_cloud(ctx):
+            fk = ctx.fk
+            pts_w = fk.body_pos[:, self.robot_cloud_bodies] + quat_rotate(
+                fk.body_quat[:, self.robot_cloud_bodies],
+                self.robot_cloud_offsets[None],
+            )
+            typ = jnp.full(pts_w.shape[:-1] + (1,), float(pc.REGULAR))
+            cloud = jnp.concatenate([pts_w, typ], axis=-1)
+            return pc.subsample_pad(cloud, ctx.obs_key, P_out)
+
+        reg.observables["ur5sih_synthetic_pointcloud"] = _mk_obs(
+            "ur5sih_synthetic_pointcloud", P_out * 4, obs_robot_cloud,
+            key="ur5sih_synthetic_pointcloud",
+        )
+
+        def obs_goal_cloud(ctx):
+            c = pc.transform_cloud(
+                self.goal_cloud_points,
+                jnp.ones(self.goal_cloud_points.shape[0]),
+                jnp.broadcast_to(
+                    jnp.asarray([1.0, 0, 0, 0]), (ctx.batch, 4)
+                ),
+                ctx.state.task.goal_pos,
+                point_type=pc.GOAL,
+            )
+            return c
+
+        reg.observables["goal_synthetic_pointcloud"] = _mk_obs(
+            "goal_synthetic_pointcloud", 0, obs_goal_cloud,
+            key="goal_synthetic_pointcloud",
+        )
+
+        def obs_scene_cloud(ctx):
+            cloud = pc.merge_clouds(
+                object_cloud(ctx), obs_goal_cloud(ctx)
+            )
+            return pc.subsample_pad(cloud, ctx.obs_key, P_out)
+
+        reg.observables["scene_synthetic_pointcloud"] = _mk_obs(
+            "scene_synthetic_pointcloud", P_out * 4, obs_scene_cloud,
+            key="scene_synthetic_pointcloud",
+        )
 
     # --- reset --------------------------------------------------------------
 
@@ -549,7 +690,16 @@ class HandArmEnv:
 
     def _fresh_state(self, key, B) -> EnvState:
         kobj, kgoal, ktgt, knext = jax.random.split(key, 4)
-        pos, quat = self._sample_object_poses(kobj, B)
+        if self.initial_pool is not None:
+            # sample a stored drop-settled configuration per env
+            # (reference multi_object_manipulation.py:73-91)
+            n_cfg = self.initial_pool.pos.shape[0]
+            idx = jax.random.randint(kobj, (B,), 0, n_cfg)
+            envs = jnp.arange(B)
+            pos = self.initial_pool.pos[idx, envs]
+            quat = self.initial_pool.quat[idx, envs]
+        else:
+            pos, quat = self._sample_object_poses(kobj, B)
         K = self.cfg_num_objects
         physics = PhysicsState(
             robot=RobotState(
@@ -573,6 +723,14 @@ class HandArmEnv:
             ),
             sih_smoothed=jnp.zeros((B, 5), jnp.float32),
         )
+        dr_state = (
+            init_dr_state(
+                self.cfg.dr, jax.random.fold_in(key, 7), B, K, self.art.nv,
+                self.num_obs, self.num_actions,
+            )
+            if self.cfg.dr.enabled
+            else None
+        )
         task = TaskState(
             progress=jnp.zeros(B, jnp.int32),
             goal_pos=self._sample_goal(kgoal, B),
@@ -580,6 +738,8 @@ class HandArmEnv:
             goal_reached_before=jnp.zeros(B, bool),
             initial_obj_pos=pos,
             key=knext,
+            total_steps=jnp.zeros((), jnp.int32),
+            dr=dr_state,
         )
         metrics = Metrics(
             success_ewma=jnp.zeros(()),
@@ -600,7 +760,18 @@ class HandArmEnv:
         cfg = self.cfg
         B = actions.shape[0]
         actions = jnp.clip(actions, -cfg.clip_actions, cfg.clip_actions)
-        key, k_dist, k_reset = jax.random.split(state.task.key, 3)
+        key, k_dist, k_reset, k_act_noise = jax.random.split(state.task.key, 4)
+
+        dr_strength = None
+        if cfg.dr.enabled:
+            dr_strength = schedule_strength(cfg.dr, state.task.total_steps)
+            actions = jnp.clip(
+                apply_noise(
+                    cfg.dr.action_noise, k_act_noise, actions,
+                    state.task.dr.act_corr, dr_strength,
+                ),
+                -cfg.clip_actions, cfg.clip_actions,
+            )
 
         # 1. actionables -> control state -> PD targets
         control = state.control
@@ -638,8 +809,25 @@ class HandArmEnv:
             )
 
         # 2. physics: control_freq_inv outer steps fused in one scan
+        from handarm_tpu.physics.engine import EnvOverrides
+
+        ovr = EnvOverrides()
+        if cfg.dr.enabled:
+            drs = state.task.dr
+            gravity = None
+            if cfg.dr.gravity_noise > 0:
+                gravity = jnp.broadcast_to(
+                    self.scene.gravity, (B, 3)
+                ).at[:, 2].add(drs.gravity_z)
+            ovr = EnvOverrides(
+                gain_scale=drs.gain_scale,
+                gravity=gravity,
+                mass_scale=drs.mass_scale,
+                friction_scale=drs.friction_scale,
+            )
+
         def body(s, _):
-            return physics_step(self.scene, s)
+            return physics_step(self.scene, s, ovr)
 
         physics, infos = jax.lax.scan(
             body, physics, None, length=cfg.control_freq_inv
@@ -647,7 +835,10 @@ class HandArmEnv:
         info_last: StepInfo = jax.tree.map(lambda x: x[-1], infos)
 
         progress = state.task.progress + 1
-        task = state.task._replace(progress=progress, key=key)
+        task = state.task._replace(
+            progress=progress, key=key,
+            total_steps=state.task.total_steps + 1,
+        )
         state2 = state._replace(physics=physics, task=task)
 
         # 3. reward + termination on the post-physics state
@@ -675,8 +866,22 @@ class HandArmEnv:
         )
 
         # 6. observations on the post-reset state
-        ctx_out = ObsContext(self, merged, info_last)
-        obs = self._compute_obs(ctx_out, self.active_obs, self.cfg.observations)
+        key, k_obs = jax.random.split(key)
+        merged = merged._replace(task=merged.task._replace(key=key))
+        ctx_out = ObsContext(self, merged, info_last, obs_key=k_obs)
+        obs, obs_dict = self._compute_obs(
+            ctx_out, self.active_obs, self.cfg.observations, with_dict=True
+        )
+        if cfg.dr.enabled:
+            key, k_obs_noise = jax.random.split(key)
+            merged = merged._replace(task=merged.task._replace(key=key))
+            obs = jnp.clip(
+                apply_noise(
+                    cfg.dr.observation_noise, k_obs_noise, obs,
+                    merged.task.dr.obs_corr, dr_strength,
+                ),
+                -cfg.clip_observations, cfg.clip_observations,
+            )
         teacher_obs = (
             self._compute_obs(
                 ctx_out, self.active_teacher_obs, self.cfg.teacher_observations
@@ -689,6 +894,7 @@ class HandArmEnv:
             teacher_obs=teacher_obs,
             reward=reward,
             done=done,
+            obs_dict=obs_dict,
             info=dict(
                 success_rate_ewma=metrics.success_ewma,
                 per_object_success_ewma=metrics.per_object_ewma,
@@ -700,14 +906,19 @@ class HandArmEnv:
 
     # --- internals ----------------------------------------------------------
 
-    def _compute_obs(self, ctx, active, requested):
+    def _compute_obs(self, ctx, active, requested, with_dict: bool = False):
         outs = {}
+        obs_dict = {}
         for o in active:
             v = o.fn(ctx)
-            outs[o.name] = v
+            if o.key == "obs":
+                outs[o.name] = v
+            else:
+                obs_dict[o.key] = v
         parts = [outs[name] for name in requested if REGISTRY.observables[name].key == "obs"]
         obs = jnp.concatenate(parts, axis=-1) if parts else jnp.zeros((ctx.batch, 0))
-        return jnp.clip(obs, -self.cfg.clip_observations, self.cfg.clip_observations)
+        obs = jnp.clip(obs, -self.cfg.clip_observations, self.cfg.clip_observations)
+        return (obs, obs_dict) if with_dict else obs
 
     def _compute_reward(self, ctx: ObsContext):
         cfg = self.cfg

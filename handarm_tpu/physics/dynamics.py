@@ -126,10 +126,12 @@ def pd_augmented_mass(
     kd: jnp.ndarray,
     h: float,
 ) -> jnp.ndarray:
-    """Mtilde = M + diag(armature + h*(kd + joint_damping) + h^2*kp)."""
+    """Mtilde = M + diag(armature + h*(kd + joint_damping) + h^2*kp).
+
+    kp/kd may be [nv] (shared) or [B, nv] (per-env DR gain scaling)."""
     d = m.armature + h * (kd + m.joint_damping) + (h * h) * kp
     return M + jnp.vectorize(jnp.diag, signature="(n)->(n,n)")(
-        jnp.broadcast_to(d, M.shape[:-2] + d.shape)
+        jnp.broadcast_to(d, M.shape[:-1])
     )
 
 

@@ -71,6 +71,17 @@ class PhysicsState(NamedTuple):
     # meaningful across substeps)
 
 
+class EnvOverrides(NamedTuple):
+    """Optional per-env physical-parameter overrides (domain randomization;
+    replaces the reference's per-actor property mutation loops,
+    vec_task.py:770-874). All default to None = scene values."""
+
+    gain_scale: jnp.ndarray | None = None  # [B, nv] multiplies kp & kd
+    gravity: jnp.ndarray | None = None  # [B, 3]
+    mass_scale: jnp.ndarray | None = None  # [B, K] object mass multiplier
+    friction_scale: jnp.ndarray | None = None  # [B] contact friction mult
+
+
 class StepInfo(NamedTuple):
     """Per-step diagnostics produced inside the same jit."""
 
@@ -141,7 +152,7 @@ def build_scene(
     )
 
 
-def substep(scene: Scene, state: PhysicsState):
+def substep(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides()):
     m = scene.model
     p = scene.params
     h = p.dt / p.substeps
@@ -149,12 +160,19 @@ def substep(scene: Scene, state: PhysicsState):
     opos, oquat, olin, oang = state.objects
     B = q.shape[0]
 
+    kp, kd = scene.kp, scene.kd
+    if ovr.gain_scale is not None:
+        kp = kp[None] * ovr.gain_scale
+        kd = kd[None] * ovr.gain_scale
+    gravity = scene.gravity if ovr.gravity is None else ovr.gravity
+
     fk = forward_kinematics(m, q, scene.base_quat[None], scene.base_pos[None])
-    dyn = compute_dyn(m, fk, qd, scene.gravity, scene.kp, scene.kd, h)
-    tau = stable_pd_torque(q, qd, targets, scene.kp, scene.kd, h, m.effort_limit)
+    dyn = compute_dyn(m, fk, qd, gravity, kp, kd, h)
+    tau = stable_pd_torque(q, qd, targets, kp, kd, h, m.effort_limit)
     qd_free = qd + h * chol_solve(dyn.chol, tau - dyn.bias)
 
-    olin_free = olin + h * scene.gravity
+    g_obj = gravity if gravity.ndim == 1 else gravity[:, None, :]
+    olin_free = olin + h * g_obj
     oang_free = oang + gyroscopic_delta(oquat, scene.shapes.inertia_diag, oang, h)
 
     contacts = generate_contacts(
@@ -165,6 +183,8 @@ def substep(scene: Scene, state: PhysicsState):
         m, fk, dyn.chol, scene.slots, contacts, scene.shapes,
         opos, oquat, qd_free, olin_free, oang_free, h, p.solver,
         warm_lam=state.contact_impulse,
+        mass_scale=ovr.mass_scale,
+        friction_scale=ovr.friction_scale,
     )
 
     # integrate
@@ -204,11 +224,11 @@ def substep(scene: Scene, state: PhysicsState):
     return new_state, info
 
 
-def step(scene: Scene, state: PhysicsState):
+def step(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides()):
     """One outer sim step (dt) = `substeps` contact-resolved substeps."""
 
     def body(s, _):
-        return substep(scene, s)
+        return substep(scene, s, ovr)
 
     state, infos = jax.lax.scan(body, state, None, length=scene.params.substeps)
     # report last-substep diagnostics

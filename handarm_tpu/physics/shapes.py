@@ -133,6 +133,23 @@ def stack_objects(objs: list[dict], dtype=jnp.float32) -> ObjectShapes:
         radius[k, :n] = o.get("point_radius", np.zeros(n))
     f = lambda x: jnp.asarray(x, dtype=dtype)
     mass = np.array([o["mass"] for o in objs])
+    sdf_grid = sdf_lo = sdf_spacing = None
+    if any(o["kind"] == MESH_SDF for o in objs):
+        res = max(
+            o["sdf_grid"].shape[0] for o in objs if o["kind"] == MESH_SDF
+        )
+        grids = np.zeros((K, res, res, res), np.float32)
+        los = np.zeros((K, 3), np.float32)
+        spacings = np.ones(K, np.float32)
+        for k, o in enumerate(objs):
+            if o["kind"] != MESH_SDF:
+                continue
+            g = o["sdf_grid"]
+            assert g.shape[0] == res, "mixed SDF resolutions not supported"
+            grids[k] = g
+            los[k] = o["sdf_lo"]
+            spacings[k] = o["sdf_spacing"]
+        sdf_grid, sdf_lo, sdf_spacing = f(grids), f(los), f(spacings)
     return ObjectShapes(
         kind=np.array([o["kind"] for o in objs], dtype=np.int32),
         size=f(np.stack([o["size"] for o in objs])),
@@ -144,6 +161,9 @@ def stack_objects(objs: list[dict], dtype=jnp.float32) -> ObjectShapes:
         inv_mass=f(1.0 / np.maximum(mass, 1e-9)),
         inertia_diag=f(np.stack([o["inertia_diag"] for o in objs])),
         friction=f(np.array([o["friction"] for o in objs])),
+        sdf_grid=sdf_grid,
+        sdf_lo=sdf_lo,
+        sdf_spacing=sdf_spacing,
     )
 
 

@@ -71,21 +71,35 @@ def _tangent_basis(n: jnp.ndarray):
 
 
 class _Prep(NamedTuple):
-    """Precomputed per-substep solver quantities."""
+    """Precomputed per-substep solver quantities.
+
+    The sweep phase is designed to be HBM-light: instead of re-reading the
+    per-slot Jacobians (O(B*C*3*nv) — hundreds of MB at fleet batch sizes)
+    every sweep, it works from body twists (robot side: masked screw matmul
+    + static gathers) and generalized impulses (static slot->dof masks +
+    one explicit Mtilde^-1 matmul). Per-sweep traffic is O(B*C*6)."""
 
     active: jnp.ndarray  # [B, C]
     basis: jnp.ndarray  # [B, C, 3(dir), 3(xyz)]
     inv_d: jnp.ndarray  # [B, C, 3] masked inverse effective mass per direction
     bias: jnp.ndarray  # [B, C]
     mu: jnp.ndarray  # [B, C] (zeroed while not yet touching)
-    J: jnp.ndarray  # [B, C, 3, nv]
-    MinvJT: jnp.ndarray  # [B, C, nv, 3]
+    pos: jnp.ndarray  # [B, C, 3] contact points
+    screw: jnp.ndarray  # [B, nv, 6] world joint screws
+    ancestor_mask: jnp.ndarray  # [nb, nv]
+    Minv: jnp.ndarray  # [B, nv, nv] explicit PD-augmented inverse inertia
+    anc_slot: jnp.ndarray  # [C, nv] static: dof u moves slot c's robot body
+    body_idx: np.ndarray  # [C] static robot body per slot (0 if none)
+    robot_mask: jnp.ndarray  # [C] 1.0 where slot touches the robot
     has_robot: np.ndarray  # [C] bool (static)
     sides: dict  # side -> (kidx [C], r [B,C,3], Iinv_c [B,C,3,3], invm [C], mask [C], sign, onehot [C,K])
+    J: jnp.ndarray | None = None  # [B, C, 3, nv] (gs mode only)
+    MinvJT: jnp.ndarray | None = None  # [B, C, nv, 3] (gs mode only)
 
 
 def _prepare(
-    m, fk, chol, slots, contacts, shapes, obj_pos, obj_quat, h, params
+    m, fk, chol, slots, contacts, shapes, obj_pos, obj_quat, h, params,
+    mass_scale=None, friction_scale=None,
 ):
     B, C = contacts.depth.shape
     K = shapes.num_objects
@@ -100,20 +114,37 @@ def _prepare(
     t1, t2 = _tangent_basis(n)
     basis = jnp.stack([n, t1, t2], axis=2)
 
+    eye_nv = jnp.broadcast_to(jnp.eye(nv, dtype=dtype), (B, nv, nv))
+    Minv = chol_solve(chol, eye_nv)
+
     has_robot = slots.robot_body >= 0
+    body_idx_np = np.where(has_robot, slots.robot_body, 0)
+    anc_slot = jnp.asarray(
+        np.asarray(m.ancestor_mask)[body_idx_np]
+        * has_robot[:, None].astype(np.float32)
+    ).astype(dtype)  # [C, nv]
+    robot_mask = jnp.asarray(has_robot, dtype)
+
+    J = MinvJT = None
     if has_robot.any():
-        body_idx_np = np.where(has_robot, slots.robot_body, 0)
-        body_idx = jnp.broadcast_to(jnp.asarray(body_idx_np), (B, C))
-        J = point_jacobian(m, fk, body_idx, contacts.pos)
-        J = J * jnp.asarray(has_robot, dtype)[None, :, None, None]
-        rhs = jnp.moveaxis(J, -1, 1).reshape(B, nv, C * 3)
-        MinvJT = chol_solve(chol, rhs).reshape(B, nv, C, 3)
-        MinvJT = jnp.moveaxis(MinvJT, 2, 1)  # [B, C, nv, 3]
-        D = jnp.einsum("bciv,bcvj->bcij", J, MinvJT)
+        # generalized unit-impulse columns: B_c[u, i] = anc * screw_u . (p x e_i, e_i)
+        f_unit = jnp.concatenate(
+            [skew(contacts.pos), jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, C, 3, 3))],
+            axis=-2,
+        )  # [B, C, 6(spatial), 3(dir)]
+        Bc = jnp.einsum("bua,bcai->bcui", fk.screw, f_unit) * anc_slot[None, :, :, None]
+        MinvB = jnp.einsum("buv,bcvi->bcui", Minv, Bc)
+        D = jnp.einsum("bcui,bcuj->bcij", Bc, MinvB)
+        if params.mode == "gs":
+            body_idx = jnp.broadcast_to(jnp.asarray(body_idx_np), (B, C))
+            J = point_jacobian(m, fk, body_idx, contacts.pos)
+            J = J * robot_mask[None, :, None, None]
+            MinvJT = jnp.swapaxes(MinvB, -1, -2)
     else:
-        J = jnp.zeros((B, C, 3, nv), dtype)
-        MinvJT = jnp.zeros((B, C, nv, 3), dtype)
         D = jnp.zeros((B, C, 3, 3), dtype)
+        if params.mode == "gs":
+            J = jnp.zeros((B, C, 3, nv), dtype)
+            MinvJT = jnp.zeros((B, C, nv, 3), dtype)
 
     if K:
         Iinv_w = free_body_inv_inertia_world(obj_quat, shapes.inertia_diag)
@@ -128,10 +159,14 @@ def _prepare(
         kidx = np.where(has, idx_arr, 0)
         r = contacts.pos - obj_pos[:, kidx]
         Iinv_c = Iinv_w[:, kidx]
-        invm_c = shapes.inv_mass[kidx]
+        invm_c = jnp.broadcast_to(shapes.inv_mass[kidx], (B, C))
+        if mass_scale is not None:
+            ms = mass_scale[:, kidx]  # [B, C]
+            invm_c = invm_c / ms
+            Iinv_c = Iinv_c / ms[..., None, None]
         mask = jnp.asarray(has, dtype)
         rx = skew(r)
-        D_obj = invm_c[None, :, None, None] * eye3 + jnp.einsum(
+        D_obj = invm_c[..., None, None] * eye3 + jnp.einsum(
             "bcji,bcjk,bckl->bcil", rx, Iinv_c, rx
         )
         D = D + D_obj * mask[None, :, None, None]
@@ -155,15 +190,28 @@ def _prepare(
     )
     # friction only once actually touching
     mu = jnp.asarray(slots.friction, dtype)[None] * (contacts.depth > 0.0)
+    if friction_scale is not None:
+        mu = mu * friction_scale[:, None]
     return _Prep(
         active=active, basis=basis, inv_d=inv_d, bias=bias, mu=mu,
-        J=J, MinvJT=MinvJT, has_robot=has_robot, sides=sides,
+        pos=contacts.pos, screw=fk.screw, ancestor_mask=m.ancestor_mask,
+        Minv=Minv, anc_slot=anc_slot, body_idx=body_idx_np,
+        robot_mask=robot_mask, has_robot=has_robot, sides=sides,
+        J=J, MinvJT=MinvJT,
     )
 
 
 def _rel_velocity(prep: _Prep, qd, lv, av):
-    """World relative velocity at every slot (A side minus B side): [B,C,3]."""
-    v = jnp.einsum("bciv,bv->bci", prep.J, qd)
+    """World relative velocity at every slot (A side minus B side): [B,C,3].
+
+    Robot side from body twists: bv = anc-masked sum of screw*qd, then a
+    static per-slot body gather — O(B*(nv^2 + C*6)) instead of O(B*C*3*nv)."""
+    sv = prep.screw * qd[..., None]  # [B, nv, 6]
+    bv = jnp.einsum("nj,bja->bna", prep.ancestor_mask, sv)  # [B, nb, 6]
+    bvc = bv[:, prep.body_idx]  # [B, C, 6], static gather
+    v = (
+        bvc[..., 3:] + jnp.cross(bvc[..., :3], prep.pos)
+    ) * prep.robot_mask[None, :, None]
     for side in ("a", "b"):
         sd = prep.sides[side]
         if sd is None:
@@ -175,8 +223,14 @@ def _rel_velocity(prep: _Prep, qd, lv, av):
 
 
 def _apply_impulses(prep: _Prep, qd, lv, av, dP):
-    """Apply world impulses dP [B, C, 3] (+ to robot/objA, - to objB)."""
-    qd = qd + jnp.einsum("bcvi,bci->bv", prep.MinvJT, dP)
+    """Apply world impulses dP [B, C, 3] (+ to robot/objA, - to objB).
+
+    Robot side via generalized impulses: g_u = screw_u . sum_c anc[c,u] *
+    (p_c x dP_c, dP_c), then qd += Minv g."""
+    f = jnp.concatenate([jnp.cross(prep.pos, dP), dP], axis=-1)  # [B, C, 6]
+    W = jnp.einsum("cu,bca->bua", prep.anc_slot, f)  # [B, nv, 6]
+    gi = jnp.einsum("bua,bua->bu", prep.screw, W)
+    qd = qd + jnp.einsum("buv,bv->bu", prep.Minv, gi)
     for side in ("a", "b"):
         sd = prep.sides[side]
         if sd is None:
@@ -184,7 +238,7 @@ def _apply_impulses(prep: _Prep, qd, lv, av, dP):
         kidx, r, Iinv_c, invm_c, mask, sign, onehot = sd
         dPm = dP * mask[None, :, None]
         lv = lv + sign * jnp.einsum(
-            "bci,ck->bki", dPm * invm_c[None, :, None], onehot
+            "bci,ck->bki", dPm * invm_c[..., None], onehot
         )
         dw = jnp.einsum("bcij,bcj->bci", Iinv_c, jnp.cross(r, dPm))
         av = av + sign * jnp.einsum("bci,ck->bki", dw, onehot)
@@ -271,7 +325,7 @@ def _solve_gs(prep: _Prep, qd, lv, av, lam0, params: SolverParams):
             kvec = onehot[c]
             dPm = dP * mask[c]
             lv = lv + sign * jnp.einsum(
-                "bi,k->bki", dPm * invm_c[c], kvec
+                "bi,k->bki", dPm * invm_c[:, c : c + 1], kvec
             )
             dw = jnp.einsum("bij,bj->bi", Iinv_c[:, c], jnp.cross(r[:, c], dPm))
             av = av + sign * jnp.einsum("bi,k->bki", dw, kvec)
@@ -304,9 +358,12 @@ def solve_contacts(
     h: float,
     params: SolverParams = SolverParams(),
     warm_lam: jnp.ndarray | None = None,  # [B, C, 3] last substep's impulses
+    mass_scale: jnp.ndarray | None = None,  # [B, K] DR mass multiplier
+    friction_scale: jnp.ndarray | None = None,  # [B] DR friction multiplier
 ) -> SolverOut:
     prep = _prepare(
-        m, fk, chol, slots, contacts, shapes, obj_pos, obj_quat, h, params
+        m, fk, chol, slots, contacts, shapes, obj_pos, obj_quat, h, params,
+        mass_scale=mass_scale, friction_scale=friction_scale,
     )
     B, C = prep.active.shape
     if warm_lam is None or params.warm_start <= 0.0:

@@ -226,6 +226,44 @@ def _quat_to_mat_np(q):
     )
 
 
+@functools.lru_cache(maxsize=4)
+def ur5sih_surface_cloud(
+    total_points: int = 128, urdf_path: str = UR5SIH_URDF
+) -> tuple:
+    """Area-proportional surface samples over all link collision meshes, in
+    body frames (reference samples @1500 pts/m^2 then subsamples,
+    ur5sih.py:58-91,347-374). Returns numpy (body_idx [P], offsets [P, 3])."""
+    art = load_ur5sih(urdf_path)
+    from handarm_tpu.physics.urdf import parse_urdf
+
+    urdf = parse_urdf(urdf_path)
+    link_meshes = []
+    for link_name, link in urdf.links.items():
+        site = art.sites.get(link_name)
+        if site is None or site.body < 0 or not link.collisions:
+            continue
+        for col in link.collisions:
+            if col.geometry.kind != "mesh":
+                continue
+            try:
+                mesh = load_mesh(col.geometry.mesh_path, col.geometry.mesh_scale)
+            except FileNotFoundError:
+                continue
+            link_meshes.append((site, col, mesh, mesh.area()))
+    total_area = sum(a for *_, a in link_meshes)
+    bodies, offsets = [], []
+    rng = np.random.default_rng(7)
+    for site, col, mesh, area in link_meshes:
+        n = max(1, int(round(total_points * area / max(total_area, 1e-9))))
+        pts = mesh.sample_surface(n, rng)
+        pts = pts @ col.origin_rot.T + col.origin_pos
+        Rq = _quat_to_mat_np(site.quat)
+        pts = pts @ Rq.T + site.pos
+        bodies.extend([site.body] * n)
+        offsets.append(pts)
+    return np.array(bodies, dtype=np.int32), np.concatenate(offsets)
+
+
 def make_robot_spheres(
     friction: float = 1.0, hand_only: bool = False, urdf_path: str = UR5SIH_URDF
 ) -> RobotSpheres:

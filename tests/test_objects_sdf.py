@@ -1,0 +1,147 @@
+"""Mesh-object pipeline: SDF baking, sampling, object-set resolution,
+pointcloud observables, genesis drop init."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from handarm_tpu.physics.sdf import bake_sdf, sample_sdf, sample_sdf_grad
+from handarm_tpu.utils.mesh import Mesh
+
+
+def unit_cube_mesh(h=0.05):
+    """Axis-aligned cube with consistent outward winding (12 triangles)."""
+    v = np.array(
+        [[-h, -h, -h], [h, -h, -h], [h, h, -h], [-h, h, -h],
+         [-h, -h, h], [h, -h, h], [h, h, h], [-h, h, h]]
+    )
+    quads = [
+        (0, 3, 2, 1),  # bottom (-z), outward = -z
+        (4, 5, 6, 7),  # top (+z)
+        (0, 1, 5, 4),  # front (-y)
+        (2, 3, 7, 6),  # back (+y)
+        (0, 4, 7, 3),  # left (-x)
+        (1, 2, 6, 5),  # right (+x)
+    ]
+    faces = []
+    for a, b, c, d in quads:
+        faces += [[a, b, c], [a, c, d]]
+    return Mesh(v, np.array(faces))
+
+
+def test_bake_sdf_cube_sign_and_distance():
+    mesh = unit_cube_mesh(0.05)
+    grid, lo, spacing = bake_sdf(mesh, resolution=24, samples=20000)
+    g, l, s = jnp.asarray(grid), jnp.asarray(lo), jnp.asarray(spacing)
+    d_center = float(sample_sdf(g, l, s, jnp.zeros(3)))
+    assert -0.06 < d_center < -0.03  # inside, ~ -0.05
+    d_out = float(sample_sdf(g, l, s, jnp.asarray([0.2, 0.0, 0.0])))
+    assert 0.1 < d_out < 0.2
+    d_surf = float(sample_sdf(g, l, s, jnp.asarray([0.05, 0.0, 0.0])))
+    assert abs(d_surf) < 0.01
+    _, grad = sample_sdf_grad(g, l, s, jnp.asarray([0.08, 0.0, 0.0]))
+    assert float(grad[0]) > 0.9  # outward normal +x
+
+
+def test_resolve_object_set_glob():
+    from handarm_tpu.envs.objects import resolve_object_set
+
+    objs = resolve_object_set({"ycb": ["00[45]_*"]})
+    names = [n for n, _ in objs]
+    assert "ycb/004_sugar_box" in names and "ycb/005_tomato_soup_can" in names
+
+
+def test_load_ycb_object_record():
+    from handarm_tpu.envs.objects import load_object, resolve_object_set
+
+    objs = resolve_object_set({"ycb": ["015_peach"]})
+    rec = load_object(objs[0][1])
+    assert rec["mass"] > 0.001
+    assert rec["sdf_grid"].shape == (32, 32, 32)
+    assert rec["points"].shape[1] == 3
+    # surface points should be near the zero level set of the SDF
+    g = jnp.asarray(rec["sdf_grid"])
+    d = sample_sdf(
+        g, jnp.asarray(rec["sdf_lo"]), jnp.asarray(rec["sdf_spacing"]),
+        jnp.asarray(rec["points"]),
+    )
+    assert float(jnp.abs(d).mean()) < 0.01
+
+
+def test_pointcloud_observables_route_to_dict():
+    from handarm_tpu.envs.hand_arm import HandArmConfig, HandArmEnv
+
+    cfg = HandArmConfig(
+        num_envs=2, episode_length=5,
+        observations=(
+            "ur5_joint_pos", "object_pos",
+            "object_synthetic_pointcloud", "ur5sih_synthetic_pointcloud",
+            "target_object_synthetic_pointcloud",
+        ),
+    )
+    env = HandArmEnv(cfg)
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    state, res = jax.jit(env.step)(state, jnp.zeros((2, env.num_actions)))
+    assert res.obs.shape == (2, 6 + 3)  # flat part excludes clouds
+    P = cfg.pointcloud_max_points
+    assert res.obs_dict["object_synthetic_pointcloud"].shape == (2, P, 4)
+    assert res.obs_dict["ur5sih_synthetic_pointcloud"].shape == (2, P, 4)
+    cloud = np.asarray(res.obs_dict["object_synthetic_pointcloud"])
+    valid = cloud[..., 3] > 0
+    assert valid.any()
+    # valid points sit near the object
+    obj_pos = np.asarray(state.physics.objects.pos[:, 0])
+    d = np.linalg.norm(cloud[..., :3] - obj_pos[:, None], axis=-1)
+    assert d[valid].max() < 0.2
+    tgt = np.asarray(res.obs_dict["target_object_synthetic_pointcloud"])
+    assert set(np.unique(tgt[..., 3])) <= {0.0, 2.0}  # PADDING / TARGET
+
+
+def test_genesis_pool_objects_settle_in_workspace():
+    from handarm_tpu.envs.genesis import build_initial_pool
+    from handarm_tpu.envs.hand_arm import HandArmConfig, HandArmEnv
+
+    cfg = HandArmConfig(
+        num_envs=4, episode_length=5,
+        objects=(("box", (0.03, 0.03, 0.03), 0.1), ("sphere", (0.03,), 0.08)),
+    )
+    env = HandArmEnv(cfg)
+    pool = jax.jit(
+        lambda k: build_initial_pool(env, k, num_configurations=2,
+                                     drop_steps=40, settle_steps=100)
+    )(jax.random.PRNGKey(3))
+    pos = np.asarray(pool.pos)  # [2, 4, K, 3]
+    assert pos.shape == (2, 4, 2, 3)
+    assert np.isfinite(pos).all()
+    # settled on/above the table, inside the (padded) workspace
+    assert (pos[..., 2] > cfg.table_height - 0.01).all()
+    assert (pos[..., 2] < cfg.table_height + 0.3).all()
+
+
+def test_dr_randomizes_and_stays_stable():
+    from handarm_tpu.envs.hand_arm import HandArmConfig, HandArmEnv
+    from handarm_tpu.envs.randomization import DRConfig, NoiseSpec
+
+    cfg = HandArmConfig(
+        num_envs=4, episode_length=6,
+        dr=DRConfig(
+            enabled=True,
+            observation_noise=NoiseSpec(amount=0.001),
+            action_noise=NoiseSpec(amount=0.01),
+            mass_scale_range=(0.5, 1.5),
+            friction_scale_range=(0.7, 1.3),
+            gain_scale_range=(0.9, 1.1),
+        ),
+    )
+    env = HandArmEnv(cfg)
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    ms = np.asarray(state.task.dr.mass_scale)
+    assert ms.std() > 0.05  # actually randomized per env
+    step = jax.jit(env.step)
+    for _ in range(6):
+        state, res = step(state, jnp.zeros((4, env.num_actions)))
+    assert np.isfinite(np.asarray(res.obs)).all()
+    z = np.asarray(state.physics.objects.pos[..., 2])
+    assert (z > 0.45).all()  # randomized masses still rest on the table
