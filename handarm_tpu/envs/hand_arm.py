@@ -754,6 +754,22 @@ class HandArmEnv:
         ctx = ObsContext(self, state, None)
         return state, self._compute_obs(ctx, self.active_obs, self.cfg.observations)
 
+    def observe(self, state: EnvState):
+        """Recompute (obs, teacher_obs, obs_dict) for a state without
+        stepping (used by learners needing privileged obs at t=0)."""
+        ctx = ObsContext(self, state, None, obs_key=jax.random.fold_in(state.task.key, 3))
+        obs, obs_dict = self._compute_obs(
+            ctx, self.active_obs, self.cfg.observations, with_dict=True
+        )
+        teacher = (
+            self._compute_obs(
+                ctx, self.active_teacher_obs, self.cfg.teacher_observations
+            )
+            if self.active_teacher_obs
+            else jnp.zeros((ctx.batch, 0), obs.dtype)
+        )
+        return obs, teacher, obs_dict
+
     # --- step ---------------------------------------------------------------
 
     def step(self, state: EnvState, actions: jnp.ndarray) -> tuple[EnvState, StepResult]:

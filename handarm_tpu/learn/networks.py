@@ -14,6 +14,25 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+class ValueNet(nn.Module):
+    """Standalone critic for asymmetric actor-critic (central value on
+    privileged observations, reference rl_games central_value_config)."""
+
+    hidden: Sequence[int] = (768, 512, 256)
+    activation: str = "elu"
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, obs):
+        act = getattr(nn, self.activation)
+        x = obs.astype(self.compute_dtype)
+        for i, h in enumerate(self.hidden):
+            x = nn.Dense(h, name=f"dense_{i}", dtype=self.compute_dtype)(x)
+            x = act(x)
+        v = nn.Dense(1, name="value", dtype=self.compute_dtype)(x)
+        return v[..., 0].astype(jnp.float32)
+
+
 class ActorCritic(nn.Module):
     num_actions: int
     hidden: Sequence[int] = (768, 512, 256)

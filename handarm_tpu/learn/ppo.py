@@ -53,6 +53,10 @@ class PPOConfig(NamedTuple):
     max_lr: float = 1e-2
     min_lr: float = 1e-6
     hidden: tuple = (768, 512, 256)
+    # asymmetric actor-critic: value net sees the privileged teacher
+    # observations (reference central-value / asymmetric-obs configs,
+    # e.g. ShadowHand asymmetric state + hand_arm teacher_observations)
+    asymmetric_critic: bool = False
 
 
 class TrainState(NamedTuple):
@@ -65,6 +69,8 @@ class TrainState(NamedTuple):
     last_obs: jnp.ndarray
     key: jnp.ndarray
     epoch: jnp.ndarray
+    teacher_obs_stats: RunningStats | None = None
+    last_teacher_obs: jnp.ndarray | None = None
 
 
 class Transition(NamedTuple):
@@ -76,6 +82,7 @@ class Transition(NamedTuple):
     done: jnp.ndarray
     mu: jnp.ndarray
     sigma: jnp.ndarray
+    teacher_obs: jnp.ndarray | None = None
 
 
 def _gaussian_logp(mu, log_std, a):
@@ -94,7 +101,16 @@ class PPO:
     def __init__(self, env, cfg: PPOConfig = PPOConfig()):
         self.env = env
         self.cfg = cfg
+        if cfg.asymmetric_critic:
+            assert getattr(env, "num_teacher_obs", 0) > 0, (
+                "asymmetric_critic requires env teacher_observations"
+            )
         self.net = ActorCritic(num_actions=env.num_actions, hidden=cfg.hidden)
+        from handarm_tpu.learn.networks import ValueNet
+
+        self.value_net = (
+            ValueNet(hidden=cfg.hidden) if cfg.asymmetric_critic else None
+        )
         batch = env.cfg.num_envs * cfg.horizon
         if cfg.num_minibatches:
             self.num_minibatches = cfg.num_minibatches
@@ -111,9 +127,18 @@ class PPO:
     # --- init ---------------------------------------------------------------
 
     def init(self, key) -> TrainState:
-        k_env, k_net, k_next = jax.random.split(key, 3)
+        k_env, k_net, k_vnet, k_next = jax.random.split(key, 4)
         env_state, obs = self.env.reset(k_env)
         params = self.net.init(k_net, obs[:1])
+        teacher_stats = last_teacher = None
+        if self.cfg.asymmetric_critic:
+            _, teacher0, _ = self.env.observe(env_state)
+            params = {
+                "actor": params,
+                "critic": self.value_net.init(k_vnet, teacher0[:1]),
+            }
+            teacher_stats = init_stats((self.env.num_teacher_obs,))
+            last_teacher = teacher0
         opt_state = self.optimizer.init(params)
         return TrainState(
             params=params,
@@ -125,7 +150,28 @@ class PPO:
             last_obs=obs,
             key=k_next,
             epoch=jnp.zeros((), jnp.int32),
+            teacher_obs_stats=teacher_stats,
+            last_teacher_obs=last_teacher,
         )
+
+    # --- net helpers --------------------------------------------------------
+
+    def _actor_params(self, params):
+        return params["actor"] if self.cfg.asymmetric_critic else params
+
+    def _policy_value(self, ts, params, obs, teacher_obs):
+        """(mu, log_std, value) with the critic fed privileged obs when
+        asymmetric."""
+        nobs = normalize(ts.obs_stats, obs) if self.cfg.normalize_input else obs
+        mu, log_std, value = self.net.apply(self._actor_params(params), nobs)
+        if self.cfg.asymmetric_critic:
+            t_nobs = (
+                normalize(ts.teacher_obs_stats, teacher_obs)
+                if self.cfg.normalize_input
+                else teacher_obs
+            )
+            value = self.value_net.apply(params["critic"], t_nobs)
+        return mu, log_std, value
 
     # --- one train iteration (jit this) -------------------------------------
 
@@ -134,10 +180,18 @@ class PPO:
         key, k_roll, k_perm = jax.random.split(ts.key, 3)
 
         # 1. rollout
+        B = ts.last_obs.shape[0]
+        teacher0 = (
+            ts.last_teacher_obs
+            if ts.last_teacher_obs is not None
+            else jnp.zeros(
+                (B, getattr(self.env, "num_teacher_obs", 0)), ts.last_obs.dtype
+            )
+        )
+
         def rollout_step(carry, k):
-            env_state, obs = carry
-            nobs = normalize(ts.obs_stats, obs) if cfg.normalize_input else obs
-            mu, log_std, value = self.net.apply(ts.params, nobs)
+            env_state, obs, teacher_obs = carry
+            mu, log_std, value = self._policy_value(ts, ts.params, obs, teacher_obs)
             a = mu + jnp.exp(log_std) * jax.random.normal(k, mu.shape)
             logp = _gaussian_logp(mu, log_std, a)
             env_state, res = self.env.step(env_state, a)
@@ -154,19 +208,17 @@ class PPO:
             t = Transition(
                 obs=obs, action=a, logp=logp, value=value,
                 reward=reward, done=res.done, mu=mu, sigma=jnp.exp(log_std),
+                teacher_obs=teacher_obs,
             )
-            return (env_state, res.obs), (t, res.info)
+            return (env_state, res.obs, res.teacher_obs), (t, res.info)
 
         keys = jax.random.split(k_roll, cfg.horizon)
-        (env_state, last_obs), (traj, infos) = jax.lax.scan(
-            rollout_step, (ts.env_state, ts.last_obs), keys
+        (env_state, last_obs, last_teacher), (traj, infos) = jax.lax.scan(
+            rollout_step, (ts.env_state, ts.last_obs, teacher0), keys
         )
 
         # bootstrap value for the state after the last step
-        nobs = (
-            normalize(ts.obs_stats, last_obs) if cfg.normalize_input else last_obs
-        )
-        _, _, last_value = self.net.apply(ts.params, nobs)
+        _, _, last_value = self._policy_value(ts, ts.params, last_obs, last_teacher)
         last_value = (
             denormalize(ts.value_stats, last_value)
             if cfg.normalize_value
@@ -195,6 +247,12 @@ class PPO:
             if cfg.normalize_input
             else ts.obs_stats
         )
+        teacher_stats = ts.teacher_obs_stats
+        if cfg.asymmetric_critic and cfg.normalize_input:
+            teacher_stats = update_stats(
+                teacher_stats,
+                traj.teacher_obs.reshape(-1, traj.teacher_obs.shape[-1]),
+            )
         value_stats = (
             update_stats(ts.value_stats, returns.reshape(-1))
             if cfg.normalize_value
@@ -230,7 +288,14 @@ class PPO:
             obs_n = (
                 normalize(obs_stats, mb["obs"]) if cfg.normalize_input else mb["obs"]
             )
-            mu, log_std, value = self.net.apply(params, obs_n)
+            mu, log_std, value = self.net.apply(self._actor_params(params), obs_n)
+            if cfg.asymmetric_critic:
+                t_n = (
+                    normalize(teacher_stats, mb["teacher_obs"])
+                    if cfg.normalize_input
+                    else mb["teacher_obs"]
+                )
+                value = self.value_net.apply(params["critic"], t_n)
             logp = _gaussian_logp(mu, log_std, mb["action"])
             ratio = jnp.exp(logp - mb["logp"])
             surr1 = ratio * mb["adv"]
@@ -288,6 +353,7 @@ class PPO:
                 value_n=values_n[idx],
                 mu=batch.mu[idx],
                 sigma=batch.sigma[idx],
+                teacher_obs=batch.teacher_obs[idx],
             )
             grads, aux = grad_fn(params, mb)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
@@ -337,6 +403,10 @@ class PPO:
             last_obs=last_obs,
             key=key,
             epoch=ts.epoch + 1,
+            teacher_obs_stats=teacher_stats,
+            last_teacher_obs=(
+                last_teacher if cfg.asymmetric_critic else ts.last_teacher_obs
+            ),
         )
         return new_ts, stats
 
@@ -344,7 +414,7 @@ class PPO:
 
     def act(self, ts: TrainState, obs, deterministic=True, key=None):
         nobs = normalize(ts.obs_stats, obs) if self.cfg.normalize_input else obs
-        mu, log_std, _ = self.net.apply(ts.params, nobs)
+        mu, log_std, _ = self.net.apply(self._actor_params(ts.params), nobs)
         if deterministic:
             return mu
         return mu + jnp.exp(log_std) * jax.random.normal(key, mu.shape)
