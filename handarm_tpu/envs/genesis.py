@@ -53,10 +53,8 @@ def _drop_once(env, key, drop_steps: int, settle_steps: int):
     quat = quat_from_axis_angle(axis, yaw)
 
     # robot parked in the bringup pose well above the table
-    from handarm_tpu.robots.ur5sih import BRINGUP_JOINT_CONFIG
-
     q0 = jnp.broadcast_to(
-        jnp.asarray(BRINGUP_JOINT_CONFIG, jnp.float32), (B, env.art.nv)
+        jnp.asarray(env.robot.bringup_q, jnp.float32), (B, env.art.nv)
     )
     state = PhysicsState(
         robot=RobotState(q=q0, qd=jnp.zeros_like(q0), targets=q0),

@@ -52,24 +52,13 @@ from handarm_tpu.physics.engine import (
 )
 from handarm_tpu.physics.kinematics import forward_kinematics, site_poses
 from handarm_tpu.physics.shapes import stack_objects
-from handarm_tpu.robots import ur5sih as robot_mod
-from handarm_tpu.robots.ur5sih import (
-    BRINGUP_JOINT_CONFIG,
-    DEFAULT_DERIV_GAIN,
-    DEFAULT_PROP_GAIN,
-    FINGERTIP_SITES,
-    RESET_JOINT_CONFIG,
-    SERVO_LOWER,
-    SERVO_UPPER,
-    build_sih_splines,
-    load_ur5sih,
-    make_robot_spheres,
-    servo_to_joint_targets,
-)
+from handarm_tpu.robots import get_robot
+from handarm_tpu.robots.ur5sih import SERVO_LOWER, SERVO_UPPER
 
 
 @dataclass(frozen=True)
 class HandArmConfig:
+    robot: str = "ur5sih"  # ur5sih | stretch
     num_envs: int = 1024
     episode_length: int = 200
     control_freq_inv: int = 3  # 20 Hz policy on a 60 Hz sim
@@ -96,8 +85,11 @@ class HandArmConfig:
             "reaching": 1.0, "lifting": 5.0, "goal": 50.0, "success": 50.0,
         }
     )
-    # scene
+    # scene: either primitive objects (kind, size, mass) or a mesh dataset
+    # (reference Ur5SihMultiObject.yaml objects block)
     objects: tuple = (("box", (0.032, 0.032, 0.032), 0.1),)  # (kind, size, mass)
+    object_dataset: tuple = ()  # e.g. (("ycb", ("015_peach", "005_*")),)
+    num_objects: int = 0  # objects per env when using a dataset (0 = all)
     table_height: float = 0.5
     table_lo: tuple = (-0.5, -0.5)
     table_hi: tuple = (0.9, 1.1)
@@ -132,10 +124,7 @@ class HandArmConfig:
     drop_num_steps: int = 100
 
 
-class ControlState(NamedTuple):
-    arm_target: jnp.ndarray  # [B, 6]
-    servo_ticks: jnp.ndarray  # [B, 5]
-    sih_smoothed: jnp.ndarray  # [B, 5]
+from handarm_tpu.robots.ur5sih_adapter import ControlState  # noqa: E402
 
 
 class TaskState(NamedTuple):
@@ -162,7 +151,7 @@ class Metrics(NamedTuple):
 
 class EnvState(NamedTuple):
     physics: PhysicsState
-    control: ControlState
+    control: Any  # robot-specific control pytree (adapter.init_control)
     task: TaskState
     metrics: Metrics
 
@@ -324,27 +313,8 @@ def _obs_tip_angvel(ctx):
     return ctx.fingertip_vel()[1].reshape(ctx.batch, -1)
 
 
-@REGISTRY.observable("dof_position_targets", 17)
-def _obs_dof_targets(ctx):
-    return ctx.state.physics.robot.targets
-
-
-@REGISTRY.observable("dof_pos", 17)
-def _obs_dof_pos(ctx):
-    return ctx.state.physics.robot.q
-
-
-@REGISTRY.observable("dof_vel", 17)
-def _obs_dof_vel(ctx):
-    return ctx.state.physics.robot.qd
-
-
-def _num_objects(env):
-    return env.cfg_num_objects
-
-
-# object observables are registered with env-dependent sizes at env build
-# time (they depend on K); see HandArmEnv._register_dynamic_observables.
+# dof_* and object observables are registered with env-dependent sizes at
+# env build time (they depend on nv / K); see _register_dynamic_observables.
 
 
 # --- actionables ------------------------------------------------------------
@@ -395,10 +365,22 @@ class HandArmEnv:
 
     def __init__(self, cfg: HandArmConfig):
         self.cfg = cfg
-        art = load_ur5sih()
+        self.robot = get_robot(cfg.robot)
+        art = self.robot.art
         self.art = art
         objs = []
-        for kind, size, mass in cfg.objects:
+        self.object_names: list[str] = []
+        if cfg.object_dataset:
+            from handarm_tpu.envs.objects import load_object, resolve_object_set
+
+            dataset = {name: list(pats) for name, pats in cfg.object_dataset}
+            resolved = resolve_object_set(dataset)
+            if cfg.num_objects:
+                resolved = resolved[: cfg.num_objects]
+            for name, path in resolved:
+                objs.append(load_object(path))
+                self.object_names.append(name)
+        for kind, size, mass in cfg.objects if not cfg.object_dataset else ():
             if kind == "box":
                 from handarm_tpu.physics.shapes import make_box_object
 
@@ -409,8 +391,9 @@ class HandArmEnv:
                 objs.append(make_sphere_object(size[0], mass))
             else:
                 raise NotImplementedError(kind)
+            self.object_names.append(f"{kind}_{len(self.object_names)}")
         shapes = stack_objects(objs)
-        spheres = make_robot_spheres(hand_only=cfg.hand_only_collision)
+        spheres = self.robot.make_spheres(cfg.hand_only_collision)
         geom = StaticGeom(
             table_lo=jnp.asarray(cfg.table_lo, jnp.float32),
             table_hi=jnp.asarray(cfg.table_hi, jnp.float32),
@@ -421,25 +404,23 @@ class HandArmEnv:
 
         self.scene: Scene = build_scene(
             art, shapes, spheres, geom,
-            kp=DEFAULT_PROP_GAIN, kd=DEFAULT_DERIV_GAIN,
+            kp=self.robot.kp, kd=self.robot.kd,
             base_pos=(0.0, 0.0, cfg.table_height),
             params=SimParams(
                 dt=cfg.dt, substeps=cfg.substeps,
                 solver=SolverParams(iterations=cfg.solver_iterations),
             ),
         )
-        self.splines = build_sih_splines()
-        self.fingertip_sites = self._sites(FINGERTIP_SITES)
-        self.flange_site = self._sites(["flange"])
+        self.fingertip_sites = self._sites(self.robot.fingertip_site_names)
+        self.flange_site = self._sites([self.robot.flange_site_name])
         self.arm_limits = (
             jnp.asarray(art.q_min[:6], jnp.float32),
             jnp.asarray(art.q_max[:6], jnp.float32),
         )
         self.cfg_num_objects = shapes.num_objects
         from handarm_tpu.physics.shapes import sphere_points
-        from handarm_tpu.robots.ur5sih import ur5sih_surface_cloud
 
-        rb, ro = ur5sih_surface_cloud(cfg.pointcloud_max_points)
+        rb, ro = self.robot.surface_cloud(cfg.pointcloud_max_points)
         self.robot_cloud_bodies = rb
         self.robot_cloud_offsets = jnp.asarray(ro, jnp.float32)
         self.goal_cloud_points = jnp.asarray(sphere_points(0.02, 16), jnp.float32)
@@ -458,9 +439,12 @@ class HandArmEnv:
         else:
             self.active_teacher_obs = []
             self.teacher_obs_slices, self.num_teacher_obs = {}, 0
-        self.active_actions = REGISTRY.resolve_actionables(list(cfg.actions))
+        actions = cfg.actions
+        if cfg.robot != "ur5sih" and actions == HandArmConfig.__dataclass_fields__["actions"].default:
+            actions = self.robot.default_actions
+        self.active_actions = REGISTRY.resolve_actionables(list(actions))
         self.num_actions = sum(a.size for a in self.active_actions)
-        self.reset_q = jnp.asarray(RESET_JOINT_CONFIG, jnp.float32)
+        self.reset_q = jnp.asarray(self.robot.reset_q, jnp.float32)
         self.initial_pool = None  # set by initialize_pool / first reset
 
     def initialize_pool(self, key) -> None:
@@ -484,7 +468,20 @@ class HandArmEnv:
 
     def _register_dynamic_observables(self):
         K = self.cfg_num_objects
+        nv = self.art.nv
         reg = REGISTRY
+
+        reg.observables["dof_position_targets"] = _mk_obs(
+            "dof_position_targets", nv,
+            lambda ctx: ctx.state.physics.robot.targets,
+        )
+        reg.observables["dof_pos"] = _mk_obs(
+            "dof_pos", nv, lambda ctx: ctx.state.physics.robot.q
+        )
+        reg.observables["dof_vel"] = _mk_obs(
+            "dof_vel", nv, lambda ctx: ctx.state.physics.robot.qd
+        )
+        self.robot.register_observables(reg, self)
 
         reg.observables["object_pos"] = _mk_obs(
             "object_pos", 3 * K,
@@ -668,7 +665,8 @@ class HandArmEnv:
         return pos, quat
 
     def _rest_heights(self):
-        """Height of each object's com above the surface when resting."""
+        """Height of each object's com above the surface when resting
+        (meshes use a conservative bound; drop-init settles them exactly)."""
         from handarm_tpu.physics.shapes import BOX, SPHERE
 
         shp = self.scene.shapes
@@ -676,8 +674,10 @@ class HandArmEnv:
         for k in range(self.cfg_num_objects):
             if shp.kind[k] == BOX:
                 h.append(shp.size[k, 2])
-            else:
+            elif shp.kind[k] == SPHERE:
                 h.append(shp.size[k, 0])
+            else:
+                h.append(shp.bound_radius[k])
         return jnp.stack(h)
 
     def _sample_goal(self, key, B):
@@ -716,13 +716,7 @@ class HandArmEnv:
                 (B, self.scene.slots.num_slots, 3), jnp.float32
             ),
         )
-        control = ControlState(
-            arm_target=jnp.broadcast_to(self.reset_q[:6], (B, 6)),
-            servo_ticks=jnp.broadcast_to(
-                jnp.asarray(SERVO_UPPER, jnp.float32), (B, 5)
-            ),
-            sih_smoothed=jnp.zeros((B, 5), jnp.float32),
-        )
+        control = self.robot.init_control(B)
         dr_state = (
             init_dr_state(
                 self.cfg.dr, jax.random.fold_in(key, 7), B, K, self.art.nv,
@@ -795,10 +789,9 @@ class HandArmEnv:
         for act in self.active_actions:
             control = act.apply(self, control, actions[:, off : off + act.size])
             off += act.size
-        sih_targets = servo_to_joint_targets(
-            self.splines, control.servo_ticks, state.physics.robot.q[:, 6:]
+        targets = self.robot.compute_targets(
+            self, control, state.physics.robot.q
         )
-        targets = jnp.concatenate([control.arm_target, sih_targets], axis=-1)
         physics = state.physics._replace(
             robot=state.physics.robot._replace(targets=targets)
         )
@@ -970,7 +963,8 @@ class HandArmEnv:
         for term, scale in cfg.reward.items():
             if term == "reaching":
                 d = jnp.linalg.norm(tip_pos - tgt_pos[:, None, :], axis=-1)
-                d = d.at[:, 0].multiply(4.0)  # thumb is required for SIH grasps
+                if cfg.robot == "ur5sih":
+                    d = d.at[:, 0].multiply(4.0)  # thumb required for SIH grasps
                 r = scale * jnp.exp(-3.0 * jnp.sum(d, axis=-1))
             elif term == "lifting":
                 delta_h = (

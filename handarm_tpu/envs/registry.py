@@ -40,6 +40,41 @@ register(
     dict(minibatch_size=8192),
 )
 register(
+    "Ur5SihMultiObjectManipulation",
+    HandArmConfig(
+        goal="reposition",
+        # reference Ur5SihMultiObject.yaml default dataset
+        object_dataset=(
+            ("ycb", ("015_peach", "005_tomato_soup_can", "006_mustard_bottle")),
+        ),
+        num_objects=3,
+        use_drop_init=True,
+        num_initial_poses=1,
+        randomize=True,
+    ),
+    dict(minibatch_size=8192),
+)
+STRETCH_OBS = (
+    "stretch_joint_pos", "stretch_flange_pose", "stretch_fingertip_pos",
+    "stretch_fingertip_linvel", "dof_position_targets",
+    "object_pos", "object_bounding_box", "target_object_bounding_box",
+    "target_object_to_goal_pos",
+)
+register(
+    "StretchMultiObjectManipulation",
+    HandArmConfig(
+        robot="stretch",
+        goal="reposition",
+        observations=STRETCH_OBS,
+        actions=("stretch_relative_joint_pos",),
+        objects=(
+            ("box", (0.03, 0.03, 0.03), 0.1),
+            ("sphere", (0.03,), 0.08),
+        ),
+    ),
+    dict(minibatch_size=8192),
+)
+register(
     "Ur5SihReach",
     HandArmConfig(
         goal="lift",
