@@ -91,6 +91,65 @@ register(
 )
 
 
+def env_from_yaml(path: str, overrides: list[str] | None = None):
+    """Build an env (+ ppo overrides) from a layered yaml task config
+    (reference Hydra-style composition, SURVEY.md §5.6). Observation and
+    action spaces are the declarative name lists from the yaml."""
+    from handarm_tpu.utils.config import get, load_config
+
+    cfg = load_config(path, overrides)
+    env_block = cfg.get("env", {})
+    obs = tuple(
+        env_block.get("proprioceptive_observations", [])
+        + env_block.get("object_observations", [])
+        + env_block.get("task_observations", [])
+        + env_block.get("observations", [])
+    )
+    dataset = tuple(
+        (name, tuple(pats))
+        for name, pats in get(cfg, "objects.dataset", {}).items()
+        if pats
+    )
+    rand_params = get(cfg, "rl.randomization_params.object_disturbance", {})
+    hc = HandArmConfig(
+        robot=cfg.get("robot", "ur5sih"),
+        num_envs=int(env_block.get("numEnvs", 1024)),
+        episode_length=int(get(cfg, "rl.reset.max_episode_length", 200)),
+        control_freq_inv=int(env_block.get("controlFrequencyInv", 3)),
+        dt=float(get(cfg, "sim.dt", 1.0 / 60.0)),
+        substeps=int(get(cfg, "sim.num_substeps", 2)),
+        solver_iterations=int(get(cfg, "sim.solver_iterations", 16)),
+        observations=obs or HandArmConfig.observations,
+        actions=tuple(env_block.get("actions", HandArmConfig.actions)),
+        teacher_observations=tuple(env_block.get("teacher_observations", [])),
+        goal=get(cfg, "rl.goal", "lift"),
+        goal_threshold=float(get(cfg, "rl.goal_threshold", 0.05)),
+        lifting_threshold=float(get(cfg, "rl.lifting_threshold", 0.05)),
+        reward=dict(get(cfg, "rl.reward", {"reaching": 1.0})),
+        object_dataset=dataset,
+        num_objects=int(get(cfg, "objects.num_objects", 0)),
+        table_height=float(cfg.get("table_height", 0.5)),
+        drop_pos=tuple(get(cfg, "objects.drop.pos", (0.28, 0.58, 1.5))),
+        drop_noise=tuple(get(cfg, "objects.drop.noise", (0.1, 0.1, 0.0))),
+        goal_pos=tuple(get(cfg, "objects.goal.pos", (0.28, 0.58, 0.8))),
+        goal_noise=tuple(get(cfg, "objects.goal.noise", (0.15, 0.15, 0.1))),
+        drop_num_steps=int(get(cfg, "objects.drop.num_steps", 100)),
+        num_initial_poses=int(get(cfg, "objects.drop.num_initial_poses", 1)),
+        use_drop_init=bool(dataset),
+        randomize=bool(get(cfg, "rl.randomize", False)),
+        disturbance_probability=float(rand_params.get("probability", 0.0)),
+        disturbance_magnitude=float(rand_params.get("magnitude", 0.0)),
+        pointcloud_average_points=int(
+            get(cfg, "pointclouds.average_num_points", 100)
+        ),
+        pointcloud_max_points=int(get(cfg, "pointclouds.max_num_points", 128)),
+    )
+    ppo_overrides = dict(cfg.get("ppo", {}))
+    if "hidden" in ppo_overrides:
+        ppo_overrides["hidden"] = tuple(ppo_overrides["hidden"])
+    return HandArmEnv(hc), ppo_overrides
+
+
 def make_env(name: str, overrides: list[str] | None = None):
     if name not in TASKS:
         raise KeyError(f"unknown task {name!r}; known: {sorted(TASKS)}")

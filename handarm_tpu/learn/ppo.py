@@ -259,9 +259,9 @@ class PPO:
             else ts.value_stats
         )
 
-        # flatten [T, B] -> [T*B]
+        # flatten [T, B] -> [T*B]  (explicit size: -1 breaks on 0-width leaves)
         def flat(x):
-            return x.reshape((-1,) + x.shape[2:])
+            return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
 
         batch = jax.tree.map(flat, traj)
         advantages_f = flat(advantages)

@@ -1,0 +1,142 @@
+"""Offline debug visualization (matplotlib; no Vulkan viewer on TPU pods).
+
+Replaces the reference's viewer wireframes + cv2 windows (isaacgymenvs/
+tasks/hand_arm/utils/visualization.py, observable_vec_task.py:213-274 mp4
+recorder): renders env states to PNG frames / MP4 from the host, using the
+same scene description the physics runs on (robot collision spheres, object
+shapes, table, pointclouds, goals).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _scene_artists(ax, env, state, env_idx: int):
+    import jax.numpy as jnp
+
+    from handarm_tpu.physics.kinematics import forward_kinematics
+
+    scene = env.scene
+    # table
+    lo, hi = np.asarray(scene.geom.table_lo), np.asarray(scene.geom.table_hi)
+    th = float(scene.geom.table_height)
+    xs = [lo[0], hi[0], hi[0], lo[0], lo[0]]
+    ys = [lo[1], lo[1], hi[1], hi[1], lo[1]]
+    ax.plot(xs, ys, [th] * 5, "k-", lw=0.5)
+
+    fk = forward_kinematics(
+        scene.model,
+        state.physics.robot.q[env_idx : env_idx + 1],
+        scene.base_quat[None],
+        scene.base_pos[None],
+    )
+    from handarm_tpu.math.quat import quat_rotate
+
+    centers = fk.body_pos[:, scene.spheres.body] + quat_rotate(
+        fk.body_quat[:, scene.spheres.body], scene.spheres.offset[None]
+    )
+    c = np.asarray(centers[0])
+    r = np.asarray(scene.spheres.radius)
+    ax.scatter(c[:, 0], c[:, 1], c[:, 2], s=(r * 300) ** 2, c="tab:blue",
+               alpha=0.4, label="robot")
+
+    op = np.asarray(state.physics.objects.pos[env_idx])
+    tgt = int(np.asarray(state.task.target_obj[env_idx]))
+    for k in range(op.shape[0]):
+        col = "tab:green" if k == tgt else "tab:orange"
+        ax.scatter(*op[k], s=120, c=col, marker="s")
+    gp = np.asarray(state.task.goal_pos[env_idx])
+    ax.scatter(*gp, s=150, c="tab:red", marker="*", label="goal")
+
+
+def render_state(env, state, env_idx: int = 0, path: str | None = None,
+                 elev: float = 25, azim: float = -60):
+    """Render one env's state to a matplotlib 3D figure (returns the figure,
+    optionally saves a PNG)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(6, 5))
+    ax = fig.add_subplot(111, projection="3d")
+    _scene_artists(ax, env, state, env_idx)
+    ax.set_xlim(-0.3, 0.9)
+    ax.set_ylim(0.0, 1.2)
+    ax.set_zlim(0.0, 1.2)
+    ax.view_init(elev=elev, azim=azim)
+    ax.set_xlabel("x"); ax.set_ylabel("y"); ax.set_zlabel("z")
+    if path:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        fig.savefig(path, dpi=110)
+    return fig
+
+
+def render_pointcloud(cloud, path: str | None = None):
+    """Scatter an [N, 4] semantic pointcloud (colors by PointType)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cloud = np.asarray(cloud)
+    valid = cloud[:, 3] > 0
+    colors = {1.0: "tab:gray", 2.0: "tab:green", 3.0: "tab:red"}
+    fig = plt.figure(figsize=(5, 5))
+    ax = fig.add_subplot(111, projection="3d")
+    for t, col in colors.items():
+        sel = valid & (cloud[:, 3] == t)
+        if sel.any():
+            ax.scatter(cloud[sel, 0], cloud[sel, 1], cloud[sel, 2], s=4, c=col)
+    if path:
+        fig.savefig(path, dpi=110)
+    return fig
+
+
+class EpisodeRecorder:
+    """Record per-step frames of one env and write an MP4 (cv2) or a PNG
+    strip — the analog of the reference's camera mp4 recorder
+    (observable_vec_task.py:223-274)."""
+
+    def __init__(self, env, out_path: str, env_idx: int = 0, every: int = 1):
+        self.env = env
+        self.out_path = out_path
+        self.env_idx = env_idx
+        self.every = every
+        self.frames: list[np.ndarray] = []
+        self._i = 0
+
+    def add(self, state):
+        if self._i % self.every == 0:
+            import matplotlib.pyplot as plt
+
+            fig = render_state(self.env, state, self.env_idx)
+            fig.canvas.draw()
+            buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+            self.frames.append(buf.copy())
+            plt.close(fig)
+        self._i += 1
+
+    def save(self, fps: int = 20) -> str:
+        os.makedirs(os.path.dirname(self.out_path) or ".", exist_ok=True)
+        try:
+            import cv2
+
+            h, w, _ = self.frames[0].shape
+            vw = cv2.VideoWriter(
+                self.out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+            )
+            for f in self.frames:
+                vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+            vw.release()
+        except Exception:
+            # PNG-strip fallback
+            base = os.path.splitext(self.out_path)[0]
+            for i, f in enumerate(self.frames):
+                import matplotlib.pyplot as plt
+
+                plt.imsave(f"{base}_{i:04d}.png", f)
+        return self.out_path
