@@ -224,16 +224,114 @@ def substep(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides(
     return new_state, info
 
 
-def step(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides()):
-    """One outer sim step (dt) = `substeps` contact-resolved substeps."""
+def step(
+    scene: Scene,
+    state: PhysicsState,
+    ovr: EnvOverrides = EnvOverrides(),
+    shared_prep: bool = True,
+):
+    """One outer sim step (dt) = `substeps` contact-resolved substeps.
 
-    def body(s, _):
-        return substep(scene, s, ovr)
+    shared_prep=True (default) evaluates FK, dynamics, contact generation
+    and the solver prep ONCE at the start of the step and substeps against
+    them — the PhysX TGS idiom (contacts/Jacobians per step, impulses per
+    substep) — roughly halving per-step cost. shared_prep=False re-evaluates
+    everything each substep (the more accurate path used by tight physics
+    tests)."""
+    if not shared_prep:
+        def body(s, _):
+            return substep(scene, s, ovr)
 
-    state, infos = jax.lax.scan(body, state, None, length=scene.params.substeps)
-    # report last-substep diagnostics
-    info = jax.tree.map(lambda x: x[-1], infos)
-    return state, info
+        state, infos = jax.lax.scan(
+            body, state, None, length=scene.params.substeps
+        )
+        info = jax.tree.map(lambda x: x[-1], infos)
+        return state, info
+
+    from handarm_tpu.physics.solver import _prepare, refresh_prep, solve_prepared
+
+    m = scene.model
+    p = scene.params
+    h = p.dt / p.substeps
+    q, qd, targets = state.robot
+    opos, oquat, olin, oang = state.objects
+
+    kp, kd = scene.kp, scene.kd
+    if ovr.gain_scale is not None:
+        kp = kp[None] * ovr.gain_scale
+        kd = kd[None] * ovr.gain_scale
+    gravity = scene.gravity if ovr.gravity is None else ovr.gravity
+    g_obj = gravity if gravity.ndim == 1 else gravity[:, None, :]
+
+    # heavy, once per step: dynamics + contact mass structure
+    fk0 = forward_kinematics(m, q, scene.base_quat[None], scene.base_pos[None])
+    dyn = compute_dyn(m, fk0, qd, gravity, kp, kd, h)
+    contacts0 = generate_contacts(
+        scene.slots, scene.shapes, scene.spheres, scene.geom,
+        opos, oquat, fk0.body_quat, fk0.body_pos,
+    )
+    prep0 = _prepare(
+        m, fk0, dyn.chol, scene.slots, contacts0, scene.shapes,
+        opos, oquat, h, p.solver,
+        mass_scale=ovr.mass_scale, friction_scale=ovr.friction_scale,
+    )
+    bias_acc = chol_solve(dyn.chol, dyn.bias)
+
+    def sub(carry, it):
+        q, qd, opos, oquat, olin, oang, lam = carry
+        # light, per substep: fresh geometry against frozen mass terms
+        fk = forward_kinematics(m, q, scene.base_quat[None], scene.base_pos[None])
+        contacts = generate_contacts(
+            scene.slots, scene.shapes, scene.spheres, scene.geom,
+            opos, oquat, fk.body_quat, fk.body_pos,
+        )
+        prep = refresh_prep(
+            prep0, fk, contacts, scene.slots, opos, h, p.solver,
+            friction_scale=ovr.friction_scale,
+        )
+        tau = stable_pd_torque(q, qd, targets, kp, kd, h, m.effort_limit)
+        qd_free = qd - h * bias_acc + h * chol_solve(dyn.chol, tau)
+        olin_free = olin + h * g_obj
+        oang_free = oang + gyroscopic_delta(oquat, scene.shapes.inertia_diag, oang, h)
+        out = solve_prepared(prep, qd_free, olin_free, oang_free, p.solver, lam)
+        qd_new = jnp.clip(out.qd, -m.velocity_limit * 4.0, m.velocity_limit * 4.0)
+        q_new = q + h * qd_new
+        low, high = m.q_min + p.joint_limit_margin, m.q_max - p.joint_limit_margin
+        below, above = q_new < low, q_new > high
+        q_new = jnp.clip(q_new, low, high)
+        qd_new = jnp.where(below, jnp.maximum(qd_new, 0.0), qd_new)
+        qd_new = jnp.where(above, jnp.minimum(qd_new, 0.0), qd_new)
+        opos_new, oquat_new = free_body_integrate(
+            opos, oquat, out.obj_linvel, out.obj_angvel, h
+        )
+        return (
+            q_new, qd_new, opos_new, oquat_new, out.obj_linvel, out.obj_angvel,
+            out.impulse,
+        ), (contacts.normal, jnp.maximum(contacts.depth, 0.0))
+
+    carry = (q, qd, opos, oquat, olin, oang, state.contact_impulse)
+    (q, qd, opos, oquat, olin, oang, lam), (normals, depths) = jax.lax.scan(
+        sub, carry, None, length=p.substeps
+    )
+
+    from handarm_tpu.physics.solver import _tangent_basis
+
+    last_n = normals[-1]
+    t1, t2 = _tangent_basis(last_n)
+    f_slot = (
+        lam[..., 0:1] * last_n + lam[..., 1:2] * t1 + lam[..., 2:3] * t2
+    ) / h
+    info = StepInfo(
+        body_contact_force=jnp.einsum("bci,cn->bni", f_slot, scene.slot_to_body),
+        obj_contact_force=jnp.einsum("bci,ck->bki", -f_slot, scene.slot_to_obj),
+        max_penetration=jnp.max(depths[-1], axis=-1),
+    )
+    new_state = PhysicsState(
+        robot=RobotState(q=q, qd=qd, targets=targets),
+        objects=ObjectState(pos=opos, quat=oquat, linvel=olin, angvel=oang),
+        contact_impulse=lam,
+    )
+    return new_state, info
 
 
 def initial_state(

@@ -71,7 +71,12 @@ def _tangent_basis(n: jnp.ndarray):
 
 
 class _Prep(NamedTuple):
-    """Precomputed per-substep solver quantities.
+    """Precomputed solver quantities.
+
+    Split into heavy terms evaluated once per sim step (Minv, effective
+    masses d_eff, object inverse inertias) and light geometry refreshed per
+    substep via `refresh_prep` (contact points/normals/depths, bias, screws)
+    — the TGS idiom: mass/Jacobian structure per step, anchors per substep.
 
     The sweep phase is designed to be HBM-light: instead of re-reading the
     per-slot Jacobians (O(B*C*3*nv) — hundreds of MB at fleet batch sizes)
@@ -93,6 +98,7 @@ class _Prep(NamedTuple):
     robot_mask: jnp.ndarray  # [C] 1.0 where slot touches the robot
     has_robot: np.ndarray  # [C] bool (static)
     sides: dict  # side -> (kidx [C], r [B,C,3], Iinv_c [B,C,3,3], invm [C], mask [C], sign, onehot [C,K])
+    d_eff: jnp.ndarray | None = None  # [B, C, 3] unmasked effective mass
     J: jnp.ndarray | None = None  # [B, C, 3, nv] (gs mode only)
     MinvJT: jnp.ndarray | None = None  # [B, C, nv, 3] (gs mode only)
 
@@ -197,7 +203,52 @@ def _prepare(
         pos=contacts.pos, screw=fk.screw, ancestor_mask=m.ancestor_mask,
         Minv=Minv, anc_slot=anc_slot, body_idx=body_idx_np,
         robot_mask=robot_mask, has_robot=has_robot, sides=sides,
-        J=J, MinvJT=MinvJT,
+        d_eff=d_eff, J=J, MinvJT=MinvJT,
+    )
+
+
+def refresh_prep(
+    prep: _Prep,
+    fk,
+    contacts: Contacts,
+    slots: ContactSlots,
+    obj_pos: jnp.ndarray,
+    h: float,
+    params: SolverParams,
+    friction_scale=None,
+) -> _Prep:
+    """Per-substep geometry refresh against frozen mass terms: new contact
+    points/normals/depths (and the biases/masks derived from them), fresh
+    joint screws and object lever arms; d_eff / Minv / inverse inertias stay
+    from the step-start prep."""
+    dtype = contacts.depth.dtype
+    active = (contacts.depth > -params.speculative_margin).astype(dtype)
+    n = contacts.normal
+    t1, t2 = _tangent_basis(n)
+    basis = jnp.stack([n, t1, t2], axis=2)
+    inv_d = active[..., None] / prep.d_eff
+    bias = jnp.where(
+        contacts.depth >= 0.0,
+        jnp.minimum(
+            params.baumgarte / h * jnp.maximum(contacts.depth - params.slop, 0.0),
+            params.max_depenetration_vel,
+        ),
+        contacts.depth / h,
+    )
+    mu = jnp.asarray(slots.friction, dtype)[None] * (contacts.depth > 0.0)
+    if friction_scale is not None:
+        mu = mu * friction_scale[:, None]
+    sides = {}
+    for side, sd in prep.sides.items():
+        if sd is None:
+            sides[side] = None
+            continue
+        kidx, _, Iinv_c, invm_c, mask, sign, onehot = sd
+        r = contacts.pos - obj_pos[:, kidx]
+        sides[side] = (kidx, r, Iinv_c, invm_c, mask, sign, onehot)
+    return prep._replace(
+        active=active, basis=basis, inv_d=inv_d, bias=bias, mu=mu,
+        pos=contacts.pos, screw=fk.screw, sides=sides,
     )
 
 
@@ -343,28 +394,17 @@ def _solve_gs(prep: _Prep, qd, lv, av, lam0, params: SolverParams):
     return carry
 
 
-def solve_contacts(
-    m: ModelArrays,
-    fk: FK,
-    chol: jnp.ndarray,
-    slots: ContactSlots,
-    contacts: Contacts,
-    shapes: ObjectShapes,
-    obj_pos: jnp.ndarray,
-    obj_quat: jnp.ndarray,
+def solve_prepared(
+    prep: _Prep,
     qd: jnp.ndarray,
     obj_linvel: jnp.ndarray,
     obj_angvel: jnp.ndarray,
-    h: float,
-    params: SolverParams = SolverParams(),
-    warm_lam: jnp.ndarray | None = None,  # [B, C, 3] last substep's impulses
-    mass_scale: jnp.ndarray | None = None,  # [B, K] DR mass multiplier
-    friction_scale: jnp.ndarray | None = None,  # [B] DR friction multiplier
+    params: SolverParams,
+    warm_lam: jnp.ndarray | None = None,
 ) -> SolverOut:
-    prep = _prepare(
-        m, fk, chol, slots, contacts, shapes, obj_pos, obj_quat, h, params,
-        mass_scale=mass_scale, friction_scale=friction_scale,
-    )
+    """Run the impulse iterations against a precomputed _Prep. Sharing one
+    prep across a sim step's substeps is the TGS idiom (PhysX evaluates
+    contacts/Jacobians once per step and substeps against them)."""
     B, C = prep.active.shape
     if warm_lam is None or params.warm_start <= 0.0:
         lam0 = jnp.zeros((B, C, 3), qd.dtype)
@@ -387,3 +427,28 @@ def solve_contacts(
     else:
         raise ValueError(params.mode)
     return SolverOut(qd=qd, obj_linvel=lv, obj_angvel=av, impulse=lam)
+
+
+def solve_contacts(
+    m: ModelArrays,
+    fk: FK,
+    chol: jnp.ndarray,
+    slots: ContactSlots,
+    contacts: Contacts,
+    shapes: ObjectShapes,
+    obj_pos: jnp.ndarray,
+    obj_quat: jnp.ndarray,
+    qd: jnp.ndarray,
+    obj_linvel: jnp.ndarray,
+    obj_angvel: jnp.ndarray,
+    h: float,
+    params: SolverParams = SolverParams(),
+    warm_lam: jnp.ndarray | None = None,  # [B, C, 3] last substep's impulses
+    mass_scale: jnp.ndarray | None = None,  # [B, K] DR mass multiplier
+    friction_scale: jnp.ndarray | None = None,  # [B] DR friction multiplier
+) -> SolverOut:
+    prep = _prepare(
+        m, fk, chol, slots, contacts, shapes, obj_pos, obj_quat, h, params,
+        mass_scale=mass_scale, friction_scale=friction_scale,
+    )
+    return solve_prepared(prep, qd, obj_linvel, obj_angvel, params, warm_lam)
