@@ -130,6 +130,7 @@ from handarm_tpu.robots.ur5sih_adapter import ControlState  # noqa: E402
 class TaskState(NamedTuple):
     progress: jnp.ndarray  # [B] int32
     goal_pos: jnp.ndarray  # [B, 3]
+    goal_quat: jnp.ndarray  # [B, 4] (oriented_reposition hand-orientation goal)
     target_obj: jnp.ndarray  # [B] int32
     goal_reached_before: jnp.ndarray  # [B] bool
     initial_obj_pos: jnp.ndarray  # [B, K, 3] positions at episode start
@@ -537,6 +538,9 @@ class HandArmEnv:
         reg.observables["goal_pos"] = _mk_obs(
             "goal_pos", 3, lambda ctx: ctx.state.task.goal_pos
         )
+        reg.observables["goal_quat"] = _mk_obs(
+            "goal_quat", 4, lambda ctx: ctx.state.task.goal_quat
+        )
         reg.observables["sih_fingertip_to_target_object_pos"] = _mk_obs(
             "sih_fingertip_to_target_object_pos", 15,
             lambda ctx: (
@@ -725,9 +729,28 @@ class HandArmEnv:
             if self.cfg.dr.enabled
             else None
         )
+        if self.cfg.goal == "oriented_reposition":
+            # random hand-orientation goal from two uniform x/y rotations
+            # (reference _get_random_quat, multi_object_manipulation.py:185-190)
+            ku1, ku2 = jax.random.split(jax.random.fold_in(kgoal, 1))
+            u = jax.random.uniform(ku1, (B, 2), minval=-1.0, maxval=1.0)
+            qx = quat_from_axis_angle(
+                jnp.broadcast_to(jnp.asarray([1.0, 0, 0]), (B, 3)),
+                u[:, 0] * jnp.pi,
+            )
+            qy = quat_from_axis_angle(
+                jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0]), (B, 3)),
+                u[:, 1] * jnp.pi,
+            )
+            goal_quat = quat_mul(qx, qy)
+        else:
+            goal_quat = jnp.broadcast_to(
+                jnp.asarray([1.0, 0, 0, 0], jnp.float32), (B, 4)
+            )
         task = TaskState(
             progress=jnp.zeros(B, jnp.int32),
             goal_pos=self._sample_goal(kgoal, B),
+            goal_quat=goal_quat,
             target_obj=jax.random.randint(ktgt, (B,), 0, K).astype(jnp.int32),
             goal_reached_before=jnp.zeros(B, bool),
             initial_obj_pos=pos,
@@ -943,6 +966,14 @@ class HandArmEnv:
             goal_reached = tgt_pos[:, 2] > goal_height
         elif cfg.goal in ("reposition", "oriented_reposition"):
             object_goal_distance = jnp.linalg.norm(tgt_pos - goal_pos, axis=-1)
+            if cfg.goal == "oriented_reposition":
+                # hand-orientation term (reference multi_object_manipulation.py
+                # :359-363: 0.1 * eef rotational distance added to the metric)
+                from handarm_tpu.math.quat import quat_diff_rad
+
+                eef_quat = ctx.flange[0][:, 0]
+                rot_dist = quat_diff_rad(ctx.state.task.goal_quat, eef_quat)
+                object_goal_distance = object_goal_distance + 0.1 * rot_dist
             goal_reached = object_goal_distance < cfg.goal_threshold
         elif cfg.goal == "throw":
             object_goal_distance = jnp.linalg.norm(tgt_pos - goal_pos, axis=-1)

@@ -32,6 +32,14 @@ register(
     dict(minibatch_size=8192),
 )
 register(
+    "Ur5SihOrientedReposition",
+    HandArmConfig(
+        goal="oriented_reposition",
+        observations=HandArmConfig.observations + ("goal_quat",),
+    ),
+    dict(minibatch_size=8192),
+)
+register(
     "Ur5SihThrow",
     HandArmConfig(
         goal="throw",
@@ -150,9 +158,39 @@ def env_from_yaml(path: str, overrides: list[str] | None = None):
     return HandArmEnv(hc), ppo_overrides
 
 
+# classic (contact-free) tasks: name -> (factory(num_envs, episode_length),
+# default ppo overrides)
+CLASSIC_TASKS: dict = {}
+
+
+def register_classic(name: str, factory, ppo_overrides: dict | None = None):
+    CLASSIC_TASKS[name] = (factory, ppo_overrides or {})
+
+
+def _cartpole_factory(num_envs, episode_length):
+    from handarm_tpu.envs.classic import make_cartpole
+
+    return make_cartpole(num_envs=num_envs, episode_length=episode_length)
+
+
+register_classic(
+    "Cartpole",
+    _cartpole_factory,
+    dict(hidden=(64, 64), reward_scale=1.0, minibatch_size=2048),
+)
+
+
 def make_env(name: str, overrides: list[str] | None = None):
+    if name in CLASSIC_TASKS:
+        factory, ppo_overrides = CLASSIC_TASKS[name]
+        kv = dict(ov.split("=", 1) for ov in overrides or [])
+        num_envs = int(_parse_value(kv.get("num_envs", kv.get("env.num_envs", 512))))
+        episode_length = int(_parse_value(kv.get("episode_length", 500)))
+        return factory(num_envs, episode_length), dict(ppo_overrides)
     if name not in TASKS:
-        raise KeyError(f"unknown task {name!r}; known: {sorted(TASKS)}")
+        raise KeyError(
+            f"unknown task {name!r}; known: {sorted(TASKS) + sorted(CLASSIC_TASKS)}"
+        )
     cfg, ppo_overrides = TASKS[name]
     fields = {f.name for f in dataclasses.fields(cfg)}
     updates = {}

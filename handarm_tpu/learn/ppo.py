@@ -391,7 +391,11 @@ class PPO:
             value_loss=auxs["value_loss"].mean(),
             entropy=auxs["entropy"].mean(),
             lr=lr,
-            success_rate_ewma=infos["success_rate_ewma"][-1],
+            success_rate_ewma=(
+                infos["success_rate_ewma"][-1]
+                if "success_rate_ewma" in infos
+                else jnp.zeros(())
+            ),
         )
         new_ts = TrainState(
             params=params,
