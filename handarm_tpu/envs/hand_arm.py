@@ -76,8 +76,9 @@ class HandArmConfig:
         "ur5_relative_joint_pos", "sih_smoothed_relative_servo_pos",
     )
     # task
-    goal: str = "lift"  # lift | reposition | throw
+    goal: str = "lift"  # lift | reposition | oriented_reposition | throw | repose
     goal_threshold: float = 0.05
+    repose_threshold: float = 0.1  # rad (in-hand reorientation success)
     lifting_threshold: float = 0.05
     lift_goal_height_above_table: float = 0.3
     reward: dict = field(
@@ -122,6 +123,9 @@ class HandArmConfig:
     use_drop_init: bool = False
     num_initial_poses: int = 1
     drop_num_steps: int = 100
+    # camera sensors (point-rasterized depth/segmentation; reference
+    # Ur5SihMultiObject.yaml cameras block)
+    cameras: tuple = ()  # tuple of envs.camera.CameraConfig
 
 
 from handarm_tpu.robots.ur5sih_adapter import ControlState  # noqa: E402
@@ -541,6 +545,43 @@ class HandArmEnv:
         reg.observables["goal_quat"] = _mk_obs(
             "goal_quat", 4, lambda ctx: ctx.state.task.goal_quat
         )
+
+        def keypoints(ctx):
+            """8 OBB-corner keypoints of the target object in world frame
+            (keypoint observables/rewards a la AllegroKuka,
+            allegro_kuka_base.py:814)."""
+            corners = jnp.asarray(
+                [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
+                 for sz in (-1.0, 1.0)]
+            )  # [8, 3]
+            t = ctx.state.task.target_obj
+            half = self.scene.shapes.size[t]  # [B, 3]
+            pts = corners[None] * half[:, None, :]
+            world = quat_rotate(
+                ctx.target_object_quat[:, None, :], pts
+            ) + ctx.target_object_pos[:, None, :]
+            return world.reshape(ctx.batch, -1)
+
+        reg.observables["target_object_keypoints"] = _mk_obs(
+            "target_object_keypoints", 24, keypoints
+        )
+
+        def goal_keypoints(ctx):
+            corners = jnp.asarray(
+                [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
+                 for sz in (-1.0, 1.0)]
+            )
+            t = ctx.state.task.target_obj
+            half = self.scene.shapes.size[t]
+            pts = corners[None] * half[:, None, :]
+            world = quat_rotate(
+                ctx.state.task.goal_quat[:, None, :], pts
+            ) + ctx.state.task.goal_pos[:, None, :]
+            return world.reshape(ctx.batch, -1)
+
+        reg.observables["goal_keypoints"] = _mk_obs(
+            "goal_keypoints", 24, goal_keypoints
+        )
         reg.observables["sih_fingertip_to_target_object_pos"] = _mk_obs(
             "sih_fingertip_to_target_object_pos", 15,
             lambda ctx: (
@@ -642,6 +683,98 @@ class HandArmEnv:
             "scene_synthetic_pointcloud", P_out * 4, obs_scene_cloud,
             key="scene_synthetic_pointcloud",
         )
+        for cam in self.cfg.cameras:
+            self._register_camera_observables(cam)
+
+    def _camera_scene_points(self, ctx):
+        """Combined (points_world [B,P,3], seg [B,P], types [B,P]) for the
+        rasterized cameras: robot cloud (seg 1) + object samples (seg 3+k,
+        reference segmentation-id convention)."""
+
+        def compute():
+            from handarm_tpu.envs import pointcloud as pc
+
+            fk = ctx.fk
+            B = ctx.batch
+            rob = fk.body_pos[:, self.robot_cloud_bodies] + quat_rotate(
+                fk.body_quat[:, self.robot_cloud_bodies],
+                self.robot_cloud_offsets[None],
+            )
+            parts = [rob]
+            segs = [jnp.ones((B, rob.shape[1]))]
+            types = [jnp.full((B, rob.shape[1]), float(pc.REGULAR))]
+            obj = ctx.state.physics.objects
+            t = ctx.state.task.target_obj
+            for k in range(self.cfg_num_objects):
+                pts = obj.pos[:, k, None] + quat_rotate(
+                    obj.quat[:, k, None], self.scene.shapes.points[None, k]
+                )
+                m = self.scene.shapes.point_mask[k][None]
+                parts.append(pts)
+                segs.append((3.0 + k) * m * jnp.ones((B, pts.shape[1])))
+                is_tgt = (t == k).astype(jnp.float32)[:, None]
+                types.append(
+                    (float(pc.REGULAR) + (float(pc.TARGET) - float(pc.REGULAR)) * is_tgt)
+                    * m
+                )
+            return (
+                jnp.concatenate(parts, axis=1),
+                jnp.concatenate(segs, axis=1),
+                jnp.concatenate(types, axis=1),
+            )
+
+        return ctx._get("camera_scene_points", compute)
+
+    def _register_camera_observables(self, cam):
+        from handarm_tpu.envs.camera import render_points, visible_pointcloud
+
+        reg = REGISTRY
+        P_out = self.cfg.pointcloud_max_points
+
+        def get_render(ctx):
+            def compute():
+                pts, segs, _ = self._camera_scene_points(ctx)
+                return render_points(cam, pts, segs.astype(jnp.int32), valid=segs)
+
+            return ctx._get(f"render_{cam.name}", compute)
+
+        reg.observables[f"{cam.name}_depth"] = _mk_obs(
+            f"{cam.name}_depth", 0, lambda ctx: get_render(ctx).depth,
+            key=f"{cam.name}_depth",
+        )
+        reg.observables[f"{cam.name}_segmentation"] = _mk_obs(
+            f"{cam.name}_segmentation", 0,
+            lambda ctx: get_render(ctx).segmentation,
+            key=f"{cam.name}_segmentation",
+        )
+
+        def cam_cloud(ctx):
+            pts, _, types = self._camera_scene_points(ctx)
+            return visible_pointcloud(
+                get_render(ctx), pts, types, ctx.obs_key, P_out
+            )
+
+        reg.observables[f"{cam.name}_pointcloud"] = _mk_obs(
+            f"{cam.name}_pointcloud", 0, cam_cloud,
+            key=f"{cam.name}_pointcloud",
+        )
+
+        def cam_target_cloud(ctx):
+            """Segmentation-masked target-object cloud (the reference's
+            camera-segmented target pointcloud, multi_object.py:837-855)."""
+            from handarm_tpu.envs import pointcloud as pc
+
+            pts, segs, _ = self._camera_scene_points(ctx)
+            r = get_render(ctx)
+            t = ctx.state.task.target_obj.astype(jnp.float32)
+            is_target = (segs == (3.0 + t[:, None])).astype(jnp.float32)
+            types = float(pc.TARGET) * is_target
+            return visible_pointcloud(r, pts, types, ctx.obs_key, P_out)
+
+        reg.observables[f"{cam.name}_target_object_pointcloud"] = _mk_obs(
+            f"{cam.name}_target_object_pointcloud", 0, cam_target_cloud,
+            key=f"{cam.name}_target_object_pointcloud",
+        )
 
     # --- reset --------------------------------------------------------------
 
@@ -729,7 +862,7 @@ class HandArmEnv:
             if self.cfg.dr.enabled
             else None
         )
-        if self.cfg.goal == "oriented_reposition":
+        if self.cfg.goal in ("oriented_reposition", "repose"):
             # random hand-orientation goal from two uniform x/y rotations
             # (reference _get_random_quat, multi_object_manipulation.py:185-190)
             ku1, ku2 = jax.random.split(jax.random.fold_in(kgoal, 1))
@@ -978,6 +1111,15 @@ class HandArmEnv:
         elif cfg.goal == "throw":
             object_goal_distance = jnp.linalg.norm(tgt_pos - goal_pos, axis=-1)
             goal_reached = object_goal_distance < cfg.goal_threshold
+        elif cfg.goal == "repose":
+            # in-hand reorientation: match the target object's orientation
+            # to the goal quaternion (ShadowHand/AllegroKuka-style)
+            from handarm_tpu.math.quat import quat_diff_rad
+
+            object_goal_distance = quat_diff_rad(
+                ctx.state.task.goal_quat, ctx.target_object_quat
+            )
+            goal_reached = object_goal_distance < cfg.repose_threshold
         else:
             raise NotImplementedError(cfg.goal)
 
@@ -1006,7 +1148,8 @@ class HandArmEnv:
                 )
                 r = scale * (jnp.exp(-3.0 * delta_h) - jnp.exp(-3.0))
             elif term == "goal":
-                r = scale * lifted * jnp.exp(-5.0 * object_goal_distance)
+                gate = 1.0 if cfg.goal == "repose" else lifted
+                r = scale * gate * jnp.exp(-5.0 * object_goal_distance)
             elif term == "success":
                 r = scale * goal_reached
             elif term == "object_velocity_penalty":

@@ -40,6 +40,23 @@ register(
     dict(minibatch_size=8192),
 )
 register(
+    "Ur5SihRepose",
+    HandArmConfig(
+        goal="repose",
+        # in-hand reorientation: fingertip + keypoint observations
+        # (BASELINE config 4)
+        observations=(
+            "ur5_joint_pos", "ur5_flange_pose", "sih_fingertip_pos",
+            "sih_fingertip_quat", "sih_fingertip_linvel",
+            "dof_position_targets", "target_object_pos",
+            "target_object_quat", "target_object_keypoints",
+            "goal_quat", "goal_keypoints",
+        ),
+        reward={"reaching": 1.0, "goal": 50.0, "success": 50.0},
+    ),
+    dict(minibatch_size=8192),
+)
+register(
     "Ur5SihThrow",
     HandArmConfig(
         goal="throw",
