@@ -1,0 +1,91 @@
+"""Determinism, replay buffer, config system, profiling utilities."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_env_step_deterministic():
+    """Same seed -> bitwise-identical trajectories (the reference only
+    documents determinism caveats, docs/reproducibility.md; here it holds
+    exactly because all randomness flows from the state's PRNG key)."""
+    from handarm_tpu.envs.hand_arm import HandArmConfig, HandArmEnv
+
+    cfg = HandArmConfig(
+        num_envs=4, episode_length=6,
+        observations=("ur5_joint_pos", "object_pos"),
+        actions=("ur5_relative_joint_pos",),
+        solver_iterations=4,
+    )
+    env = HandArmEnv(cfg)
+    step = jax.jit(env.step)
+
+    def rollout():
+        state, obs = jax.jit(env.reset)(jax.random.PRNGKey(123))
+        out = []
+        for i in range(5):
+            a = 0.1 * jnp.sin(jnp.arange(env.num_actions) + i)[None].repeat(4, 0)
+            state, res = step(state, a)
+            out.append(np.asarray(res.obs))
+        return np.stack(out)
+
+    a, b = rollout(), rollout()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_replay_buffer_ring():
+    from handarm_tpu.learn import replay_buffer as rb
+
+    ex = {"x": jnp.zeros((1, 3)), "y": jnp.zeros((1,), jnp.int32)}
+    buf = rb.create(ex, capacity=8)
+    add = jax.jit(rb.add)
+    for i in range(3):  # insert 3 batches of 4 -> wraps once
+        batch = {
+            "x": jnp.full((4, 3), float(i)),
+            "y": jnp.full((4,), i, jnp.int32),
+        }
+        buf = add(buf, batch)
+    assert int(buf.size) == 8
+    assert int(buf.head) == 4
+    y = np.asarray(buf.storage["y"])
+    assert (np.sort(np.unique(y)) == [1, 2]).all()  # batch 0 overwritten
+    s = rb.sample(buf, jax.random.PRNGKey(0), 16)
+    assert s["x"].shape == (16, 3)
+
+
+def test_config_layering_and_overrides(tmp_path):
+    from handarm_tpu.utils.config import load_config
+
+    (tmp_path / "base.yaml").write_text("a: 1\nnested: {x: 1, y: 2}\n")
+    (tmp_path / "child.yaml").write_text(
+        "inherits: base.yaml\nnested: {y: 3}\nb: 2\n"
+    )
+    cfg = load_config(str(tmp_path / "child.yaml"), ["nested.x=10", "c=hi"])
+    assert cfg == {"a": 1, "nested": {"x": 10, "y": 3}, "b": 2, "c": "hi"}
+
+
+def test_phase_timer():
+    from handarm_tpu.utils.profiling import PhaseTimer
+
+    t = PhaseTimer()
+    x = jnp.ones(16)
+    with t.phase("mul", sync_result=x):
+        y = x * 2
+    assert "mul" in t.means_ms()
+    assert t.counts["mul"] == 1
+    assert "mul" in t.report()
+
+
+def test_launch_helpers_single_process():
+    from handarm_tpu.parallel.launch import (
+        init_distributed,
+        is_main_process,
+        per_host_envs,
+    )
+
+    info = init_distributed()
+    assert info["process_count"] == 1
+    assert is_main_process()
+    assert per_host_envs(1024) == 1024
