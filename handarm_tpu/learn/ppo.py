@@ -216,6 +216,18 @@ class PPO:
         (env_state, last_obs, last_teacher), (traj, infos) = jax.lax.scan(
             rollout_step, (ts.env_state, ts.last_obs, teacher0), keys
         )
+        return self._update_from_traj(
+            ts, traj, env_state, last_obs, last_teacher, key, infos=infos
+        )
+
+    def _update_from_traj(
+        self, ts: TrainState, traj: Transition, env_state, last_obs,
+        last_teacher, key, infos=None,
+    ):
+        """GAE + normalization-stat updates + minibatched PPO epochs on an
+        already-collected trajectory (shared by PPO and the AMP learner)."""
+        cfg = self.cfg
+        k_perm = jax.random.fold_in(key, 1)
 
         # bootstrap value for the state after the last step
         _, _, last_value = self._policy_value(ts, ts.params, last_obs, last_teacher)
@@ -393,7 +405,7 @@ class PPO:
             lr=lr,
             success_rate_ewma=(
                 infos["success_rate_ewma"][-1]
-                if "success_rate_ewma" in infos
+                if infos is not None and "success_rate_ewma" in infos
                 else jnp.zeros(())
             ),
         )
