@@ -960,13 +960,14 @@ class HandArmEnv:
             hit = (
                 jax.random.uniform(kd1, (B, K, 1)) < cfg.disturbance_probability
             )
-            mass = self.scene.shapes.mass[None, :, None]
-            dv = (
-                jax.random.normal(kd2, (B, K, 3))
-                * cfg.disturbance_magnitude
-                * cfg.dt
-                / jnp.maximum(mass, 1e-6)
+            # mass-proportional force F = u * m * magnitude applied for one
+            # sim step (reference hand_arm_old/task/multi_object_manipulation
+            # .py:45-62): dv = u * magnitude * dt, uniform direction
+            u = jax.random.normal(kd2, (B, K, 3))
+            u = u / jnp.maximum(
+                jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-9
             )
+            dv = u * cfg.disturbance_magnitude * cfg.dt
             physics = physics._replace(
                 objects=physics.objects._replace(
                     linvel=physics.objects.linvel + jnp.where(hit, dv, 0.0)

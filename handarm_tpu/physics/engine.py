@@ -48,6 +48,14 @@ class SimParams(NamedTuple):
     substeps: int = 2
     solver: SolverParams = SolverParams()
     joint_limit_margin: float = 0.0
+    # safety clamps (PhysX maxLinearVelocity/maxAngularVelocity analog):
+    # keep lockstep envs finite even under pathological randomization
+    max_obj_linvel: float = 20.0
+    max_obj_angvel: float = 100.0
+    # per-substep velocity damping (PhysX linear/angular damping analog);
+    # also bleeds off energy injected by deep-penetration resolution
+    obj_linear_damping: float = 0.03
+    obj_angular_damping: float = 0.1
 
 
 class RobotState(NamedTuple):
@@ -172,8 +180,10 @@ def substep(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides(
     qd_free = qd + h * chol_solve(dyn.chol, tau - dyn.bias)
 
     g_obj = gravity if gravity.ndim == 1 else gravity[:, None, :]
-    olin_free = olin + h * g_obj
-    oang_free = oang + gyroscopic_delta(oquat, scene.shapes.inertia_diag, oang, h)
+    damp_l = 1.0 - h * p.obj_linear_damping
+    damp_a = 1.0 - h * p.obj_angular_damping
+    olin_free = olin * damp_l + h * g_obj
+    oang_free = oang * damp_a + gyroscopic_delta(oquat, scene.shapes.inertia_diag, oang, h)
 
     contacts = generate_contacts(
         scene.slots, scene.shapes, scene.spheres, scene.geom,
@@ -197,7 +207,9 @@ def substep(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides(
     qd_new = jnp.where(below, jnp.maximum(qd_new, 0.0), qd_new)
     qd_new = jnp.where(above, jnp.minimum(qd_new, 0.0), qd_new)
 
-    opos_new, oquat_new = free_body_integrate(opos, oquat, out.obj_linvel, out.obj_angvel, h)
+    olv = jnp.clip(out.obj_linvel, -p.max_obj_linvel, p.max_obj_linvel)
+    oav = jnp.clip(out.obj_angvel, -p.max_obj_angvel, p.max_obj_angvel)
+    opos_new, oquat_new = free_body_integrate(opos, oquat, olv, oav, h)
 
     # contact force diagnostics (world frame), from accumulated impulses
     from handarm_tpu.physics.solver import _tangent_basis
@@ -218,7 +230,7 @@ def substep(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides(
 
     new_state = PhysicsState(
         robot=RobotState(q=q_new, qd=qd_new, targets=targets),
-        objects=ObjectState(pos=opos_new, quat=oquat_new, linvel=out.obj_linvel, angvel=out.obj_angvel),
+        objects=ObjectState(pos=opos_new, quat=oquat_new, linvel=olv, angvel=oav),
         contact_impulse=out.impulse,
     )
     return new_state, info
@@ -291,8 +303,8 @@ def step(
         )
         tau = stable_pd_torque(q, qd, targets, kp, kd, h, m.effort_limit)
         qd_free = qd - h * bias_acc + h * chol_solve(dyn.chol, tau)
-        olin_free = olin + h * g_obj
-        oang_free = oang + gyroscopic_delta(oquat, scene.shapes.inertia_diag, oang, h)
+        olin_free = olin * (1.0 - h * p.obj_linear_damping) + h * g_obj
+        oang_free = oang * (1.0 - h * p.obj_angular_damping) + gyroscopic_delta(oquat, scene.shapes.inertia_diag, oang, h)
         out = solve_prepared(prep, qd_free, olin_free, oang_free, p.solver, lam)
         qd_new = jnp.clip(out.qd, -m.velocity_limit * 4.0, m.velocity_limit * 4.0)
         q_new = q + h * qd_new
@@ -301,11 +313,11 @@ def step(
         q_new = jnp.clip(q_new, low, high)
         qd_new = jnp.where(below, jnp.maximum(qd_new, 0.0), qd_new)
         qd_new = jnp.where(above, jnp.minimum(qd_new, 0.0), qd_new)
-        opos_new, oquat_new = free_body_integrate(
-            opos, oquat, out.obj_linvel, out.obj_angvel, h
-        )
+        olv = jnp.clip(out.obj_linvel, -p.max_obj_linvel, p.max_obj_linvel)
+        oav = jnp.clip(out.obj_angvel, -p.max_obj_angvel, p.max_obj_angvel)
+        opos_new, oquat_new = free_body_integrate(opos, oquat, olv, oav, h)
         return (
-            q_new, qd_new, opos_new, oquat_new, out.obj_linvel, out.obj_angvel,
+            q_new, qd_new, opos_new, oquat_new, olv, oav,
             out.impulse,
         ), (contacts.normal, jnp.maximum(contacts.depth, 0.0))
 

@@ -42,11 +42,15 @@ class SolverParams(NamedTuple):
     baumgarte: float = 0.3
     slop: float = 0.001
     warm_start: float = 0.9  # fraction of last substep's impulses reapplied
-    max_depenetration_vel: float = 2.0
+    max_depenetration_vel: float = 0.5
     activation_margin: float = 0.0
     restitution: float = 0.0
     mode: str = "jacobi"  # "jacobi" (vectorized, default) | "gs" (sequential)
-    relaxation: float = 0.55  # under-relaxation for jacobi sweeps
+    relaxation: float = 1.0  # jacobi sweep gain (scaled by mass splitting)
+    # mass splitting: each slot's impulse step is divided by the number of
+    # active slots sharing its most-contended participant — parallel Jacobi
+    # is then an averaged projection and cannot diverge however many
+    # co-aligned contacts push one body (deep-penetration pile-ups)
     speculative_margin: float = 0.02  # activate contacts within this gap
 
 
@@ -55,6 +59,31 @@ class SolverOut(NamedTuple):
     obj_linvel: jnp.ndarray  # [B, K, 3]
     obj_angvel: jnp.ndarray  # [B, K, 3]
     impulse: jnp.ndarray  # [B, C, 3] accumulated (n, t1, t2) impulses
+
+
+def _mass_split(active, onehot_body, body_idx, robot_mask, sides):
+    """1 / (max active-slot count over each slot's participants): scaling
+    per-slot impulse steps by this makes the parallel sweep an averaged
+    projection (bounded for arbitrarily contended bodies)."""
+    counts = active * 0.0 + 1.0  # at least itself
+    body_counts = jnp.einsum("bc,cn->bn", active, onehot_body)
+    counts = jnp.maximum(counts, body_counts[:, body_idx] * robot_mask[None])
+    obj_onehot = None
+    for side in ("a", "b"):
+        sd = sides.get(side)
+        if sd is None:
+            continue
+        onehot = sd[6]
+        obj_onehot = onehot if obj_onehot is None else obj_onehot + onehot
+    if obj_onehot is not None:
+        k_counts = jnp.einsum("bc,ck->bk", active, obj_onehot)
+        for side in ("a", "b"):
+            sd = sides.get(side)
+            if sd is None:
+                continue
+            kidx, _, _, _, mask, _, _ = sd
+            counts = jnp.maximum(counts, k_counts[:, kidx] * mask[None])
+    return 1.0 / jnp.maximum(counts, 1.0)
 
 
 def _tangent_basis(n: jnp.ndarray):
@@ -87,6 +116,7 @@ class _Prep(NamedTuple):
     active: jnp.ndarray  # [B, C]
     basis: jnp.ndarray  # [B, C, 3(dir), 3(xyz)]
     inv_d: jnp.ndarray  # [B, C, 3] masked inverse effective mass per direction
+    split: jnp.ndarray  # [B, C] mass-splitting factor (1/max participant count)
     bias: jnp.ndarray  # [B, C]
     mu: jnp.ndarray  # [B, C] (zeroed while not yet touching)
     pos: jnp.ndarray  # [B, C, 3] contact points
@@ -96,6 +126,7 @@ class _Prep(NamedTuple):
     anc_slot: jnp.ndarray  # [C, nv] static: dof u moves slot c's robot body
     body_idx: np.ndarray  # [C] static robot body per slot (0 if none)
     robot_mask: jnp.ndarray  # [C] 1.0 where slot touches the robot
+    onehot_body: jnp.ndarray  # [C, nb] static robot-body membership
     has_robot: np.ndarray  # [C] bool (static)
     sides: dict  # side -> (kidx [C], r [B,C,3], Iinv_c [B,C,3,3], invm [C], mask [C], sign, onehot [C,K])
     d_eff: jnp.ndarray | None = None  # [B, C, 3] unmasked effective mass
@@ -198,11 +229,17 @@ def _prepare(
     mu = jnp.asarray(slots.friction, dtype)[None] * (contacts.depth > 0.0)
     if friction_scale is not None:
         mu = mu * friction_scale[:, None]
+    onehot_body_np = np.zeros((C, m.ancestor_mask.shape[0]), np.float32)
+    onehot_body_np[np.arange(C)[has_robot], slots.robot_body[has_robot]] = 1.0
+    onehot_body = jnp.asarray(onehot_body_np, dtype)
+    split = _mass_split(active, onehot_body, body_idx_np, robot_mask, sides)
     return _Prep(
         active=active, basis=basis, inv_d=inv_d, bias=bias, mu=mu,
+        split=split,
         pos=contacts.pos, screw=fk.screw, ancestor_mask=m.ancestor_mask,
         Minv=Minv, anc_slot=anc_slot, body_idx=body_idx_np,
-        robot_mask=robot_mask, has_robot=has_robot, sides=sides,
+        robot_mask=robot_mask, onehot_body=onehot_body,
+        has_robot=has_robot, sides=sides,
         d_eff=d_eff, J=J, MinvJT=MinvJT,
     )
 
@@ -246,9 +283,12 @@ def refresh_prep(
         kidx, _, Iinv_c, invm_c, mask, sign, onehot = sd
         r = contacts.pos - obj_pos[:, kidx]
         sides[side] = (kidx, r, Iinv_c, invm_c, mask, sign, onehot)
+    split = _mass_split(
+        active, prep.onehot_body, prep.body_idx, prep.robot_mask, sides
+    )
     return prep._replace(
         active=active, basis=basis, inv_d=inv_d, bias=bias, mu=mu,
-        pos=contacts.pos, screw=fk.screw, sides=sides,
+        split=split, pos=contacts.pos, screw=fk.screw, sides=sides,
     )
 
 
@@ -319,7 +359,10 @@ def _solve_jacobi(prep: _Prep, qd, lv, av, lam0, params: SolverParams):
         qd, lv, av, lam = carry
         v = _rel_velocity(prep, qd, lv, av)
         lam_new = _project(prep, lam, v)
-        dlam = omega * (lam_new - lam) * prep.active[..., None]
+        dlam = (
+            omega * (lam_new - lam)
+            * (prep.active * prep.split)[..., None]
+        )
         lam = lam + dlam
         dP = jnp.einsum("bcd,bcdi->bci", dlam, prep.basis)
         qd, lv, av = _apply_impulses(prep, qd, lv, av, dP)

@@ -36,12 +36,17 @@ def main(argv):
     force_platform(platform)
     setup_cache()
 
-    from handarm_tpu.envs.registry import make_env
+    from handarm_tpu.envs.registry import env_from_yaml, make_env
     from handarm_tpu.learn.ppo import PPO, PPOConfig
     from handarm_tpu.parallel.mesh import make_mesh, shard_train_state
     from handarm_tpu.utils.logging import MetricsLogger
 
-    env, ppo_overrides = make_env(task, [f"{k}={v}" for k, v in kv.items()])
+    if task.endswith(".yaml"):
+        env, ppo_overrides = env_from_yaml(
+            task, [f"{k}={v}" for k, v in kv.items()]
+        )
+    else:
+        env, ppo_overrides = make_env(task, [f"{k}={v}" for k, v in kv.items()])
     ppo = PPO(env, PPOConfig(**ppo_overrides))
 
     run_dir = os.path.join("runs", exp_name)
