@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from handarm_tpu.math.quat import quat_rotate, quat_to_matrix, skew
+from handarm_tpu.math.quat import quat_to_matrix, skew
 
 
 def motion_cross(m1: jnp.ndarray, m2: jnp.ndarray) -> jnp.ndarray:

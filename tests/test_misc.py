@@ -89,3 +89,19 @@ def test_launch_helpers_single_process():
     assert info["process_count"] == 1
     assert is_main_process()
     assert per_host_envs(1024) == 1024
+
+
+def test_env_from_yaml_reference_style_config():
+    from handarm_tpu.envs.registry import env_from_yaml
+
+    env, ppo_cfg = env_from_yaml(
+        "configs/task/Ur5SihMultiObjectManipulation.yaml",
+        ["env.numEnvs=2", "rl.goal=lift", "objects.num_objects=2"],
+    )
+    assert env.cfg.num_envs == 2
+    assert env.cfg.goal == "lift"
+    assert env.cfg_num_objects == 2
+    assert env.cfg.use_drop_init  # dataset configs drop-initialize
+    assert env.num_actions == 11
+    # the declarative obs list composes proprio + object + task groups
+    assert "sih_fingertip_to_target_object_pos" in env.obs_slices

@@ -66,6 +66,10 @@ def main(argv):
         f"act={env.num_actions} devices={mesh.devices.size} "
         f"steps/iter={steps_per_iter}"
     )
+    from handarm_tpu.utils.checkpoint import save_checkpoint
+
+    save_every = 200
+    best_reward = float("-inf")
     t_start = time.time()
     for it in range(max_iterations):
         t0 = time.time()
@@ -79,13 +83,18 @@ def main(argv):
             print(
                 f"it {it:5d} | {stats['env_steps_per_s']:>10,.0f} sps | "
                 f"rew {stats['reward_mean']:.4f} | kl {stats['kl']:.4f} | "
-                f"lr {stats['lr']:.2e} | succ {stats['success_rate_ewma']:.3f}"
+                f"lr {stats['lr']:.2e} | succ {stats['success_rate_ewma']:.3f}",
+                flush=True,
             )
+        # periodic + best checkpoints (reference rl_games save_frequency /
+        # save_best_after behavior)
+        if (it + 1) % save_every == 0:
+            save_checkpoint(os.path.join(run_dir, "nn"), ts, step=it + 1)
+        if it > 50 and stats["reward_mean"] > best_reward:
+            best_reward = stats["reward_mean"]
+            save_checkpoint(os.path.join(run_dir, "nn"), ts, step=0, name="best")
     print(f"done in {time.time()-t_start:.0f}s")
     logger.close()
-    # save final checkpoint
-    from handarm_tpu.utils.checkpoint import save_checkpoint
-
     save_checkpoint(os.path.join(run_dir, "nn"), ts, step=max_iterations)
 
 
