@@ -38,7 +38,8 @@ from handarm_tpu.physics.shapes import ObjectShapes
 
 
 class SolverParams(NamedTuple):
-    iterations: int = 16
+    iterations: int = 8  # with mass splitting + warm start this matches the
+    # reference's 8-iteration TGS budget; stacks are drift-free at 8
     baumgarte: float = 0.3
     slop: float = 0.001
     warm_start: float = 0.9  # fraction of last substep's impulses reapplied
