@@ -43,6 +43,8 @@ class ObjectShapes(NamedTuple):
     sdf_grid: jnp.ndarray | None = None  # [K, R, R, R]
     sdf_lo: jnp.ndarray | None = None  # [K, 3] grid lower corner (body frame)
     sdf_spacing: jnp.ndarray | None = None  # [K] voxel edge length
+    sdf_field: jnp.ndarray | None = None  # [K, R, R, R, 4] distance+unit grad
+    # (combined so one trilinear gather yields distance AND normal)
 
     @property
     def num_objects(self) -> int:
@@ -133,12 +135,15 @@ def stack_objects(objs: list[dict], dtype=jnp.float32) -> ObjectShapes:
         radius[k, :n] = o.get("point_radius", np.zeros(n))
     f = lambda x: jnp.asarray(x, dtype=dtype)
     mass = np.array([o["mass"] for o in objs])
-    sdf_grid = sdf_lo = sdf_spacing = None
+    sdf_grid = sdf_lo = sdf_spacing = sdf_field = None
     if any(o["kind"] == MESH_SDF for o in objs):
+        from handarm_tpu.physics.sdf import bake_grad_grid
+
         res = max(
             o["sdf_grid"].shape[0] for o in objs if o["kind"] == MESH_SDF
         )
         grids = np.zeros((K, res, res, res), np.float32)
+        fields = np.zeros((K, res, res, res, 4), np.float32)
         los = np.zeros((K, 3), np.float32)
         spacings = np.ones(K, np.float32)
         for k, o in enumerate(objs):
@@ -147,9 +152,12 @@ def stack_objects(objs: list[dict], dtype=jnp.float32) -> ObjectShapes:
             g = o["sdf_grid"]
             assert g.shape[0] == res, "mixed SDF resolutions not supported"
             grids[k] = g
+            fields[k, ..., 0] = g
+            fields[k, ..., 1:] = bake_grad_grid(g, float(o["sdf_spacing"]))
             los[k] = o["sdf_lo"]
             spacings[k] = o["sdf_spacing"]
         sdf_grid, sdf_lo, sdf_spacing = f(grids), f(los), f(spacings)
+        sdf_field = f(fields)
     return ObjectShapes(
         kind=np.array([o["kind"] for o in objs], dtype=np.int32),
         size=f(np.stack([o["size"] for o in objs])),
@@ -164,6 +172,7 @@ def stack_objects(objs: list[dict], dtype=jnp.float32) -> ObjectShapes:
         sdf_grid=sdf_grid,
         sdf_lo=sdf_lo,
         sdf_spacing=sdf_spacing,
+        sdf_field=sdf_field,
     )
 
 
@@ -237,12 +246,22 @@ def object_sdf(shapes: ObjectShapes, k_static: int, p_body: jnp.ndarray):
     if kind == CYLINDER:
         return sdf_cylinder(p_body, shapes.size[k_static, 0], shapes.size[k_static, 1])
     if kind == MESH_SDF:
-        from handarm_tpu.physics.sdf import sample_sdf_grad
+        from handarm_tpu.physics.sdf import sample_sdf_channels
 
-        return sample_sdf_grad(
-            shapes.sdf_grid[k_static],
+        out = sample_sdf_channels(
+            shapes.sdf_field[k_static],
             shapes.sdf_lo[k_static],
             shapes.sdf_spacing[k_static],
             p_body,
         )
+        d, g = out[..., 0], out[..., 1:4]
+        g = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+        # out-of-grid excess so far points still see increasing distance
+        R = shapes.sdf_field.shape[1]
+        u_raw = (p_body - shapes.sdf_lo[k_static]) / shapes.sdf_spacing[k_static]
+        excess = jnp.linalg.norm(
+            jnp.maximum(jnp.abs(u_raw - (R - 1) / 2) - (R - 1) / 2, 0.0),
+            axis=-1,
+        )
+        return d + excess * shapes.sdf_spacing[k_static], g
     raise NotImplementedError(f"shape kind {kind}")
