@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from handarm_tpu.physics.dynamics import (
-    chol_solve,
     compute_dyn,
     stable_pd_torque,
 )
@@ -125,7 +124,7 @@ class ClassicEnv:
                     q, qd, tau_ext / jnp.maximum(self.effort_map, 1e-9),
                     self.kp, self.kd, h, self.m.effort_limit,
                 )
-            qdd = chol_solve(dyn.chol, tau - dyn.bias)
+            qdd = dyn.solve(tau - dyn.bias)
             qd = qd + h * qdd
             q = q + h * qd
             # joint limits

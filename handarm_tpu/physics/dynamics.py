@@ -38,10 +38,16 @@ class Dyn(NamedTuple):
     """Per-substep dynamics quantities (batch-leading)."""
 
     Mtilde: jnp.ndarray  # [B, nv, nv] PD-augmented mass matrix
-    chol: jnp.ndarray  # [B, nv, nv] cholesky factor of Mtilde
+    Minv: jnp.ndarray  # [B, nv, nv] its explicit inverse (Pallas on TPU)
     bias: jnp.ndarray  # [B, nv] C(q, qd) + g(q)
     body_inertia_w: jnp.ndarray  # [B, nb, 6, 6] spatial inertia at origin
     body_vel: jnp.ndarray  # [B, nb, 6]
+
+    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        """Mtilde^-1 @ b for b: [B, nv] or [B, nv, k]."""
+        if b.ndim == 2:
+            return jnp.einsum("bij,bj->bi", self.Minv, b)
+        return jnp.einsum("bij,bjk->bik", self.Minv, b)
 
 
 def world_spatial_inertias(m: ModelArrays, fk: FK) -> jnp.ndarray:
@@ -164,13 +170,15 @@ def compute_dyn(
 ) -> Dyn:
     from handarm_tpu.physics.kinematics import body_velocities
 
+    from handarm_tpu.ops.spd_inverse import spd_inverse
+
     I_spatial = world_spatial_inertias(m, fk)
     body_vel = body_velocities(m, fk, qd)
     M = mass_matrix(m, fk, I_spatial)
     Mt = pd_augmented_mass(m, M, kp, kd, h)
-    chol = jnp.linalg.cholesky(Mt)
+    Minv = spd_inverse(Mt)
     bias = bias_forces(m, fk, qd, gravity, I_spatial, body_vel)
-    return Dyn(Mtilde=Mt, chol=chol, bias=bias, body_inertia_w=I_spatial, body_vel=body_vel)
+    return Dyn(Mtilde=Mt, Minv=Minv, bias=bias, body_inertia_w=I_spatial, body_vel=body_vel)
 
 
 def chol_solve(chol: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -27,7 +27,6 @@ from handarm_tpu.physics.contacts import (
     make_contact_slots,
 )
 from handarm_tpu.physics.dynamics import (
-    chol_solve,
     compute_dyn,
     free_body_integrate,
     gyroscopic_delta,
@@ -177,7 +176,7 @@ def substep(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides(
     fk = forward_kinematics(m, q, scene.base_quat[None], scene.base_pos[None])
     dyn = compute_dyn(m, fk, qd, gravity, kp, kd, h)
     tau = stable_pd_torque(q, qd, targets, kp, kd, h, m.effort_limit)
-    qd_free = qd + h * chol_solve(dyn.chol, tau - dyn.bias)
+    qd_free = qd + h * dyn.solve(tau - dyn.bias)
 
     g_obj = gravity if gravity.ndim == 1 else gravity[:, None, :]
     damp_l = 1.0 - h * p.obj_linear_damping
@@ -190,7 +189,7 @@ def substep(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides(
         opos, oquat, fk.body_quat, fk.body_pos,
     )
     out = solve_contacts(
-        m, fk, dyn.chol, scene.slots, contacts, scene.shapes,
+        m, fk, dyn.Minv, scene.slots, contacts, scene.shapes,
         opos, oquat, qd_free, olin_free, oang_free, h, p.solver,
         warm_lam=state.contact_impulse,
         mass_scale=ovr.mass_scale,
@@ -283,11 +282,11 @@ def step(
         opos, oquat, fk0.body_quat, fk0.body_pos,
     )
     prep0 = _prepare(
-        m, fk0, dyn.chol, scene.slots, contacts0, scene.shapes,
+        m, fk0, dyn.Minv, scene.slots, contacts0, scene.shapes,
         opos, oquat, h, p.solver,
         mass_scale=ovr.mass_scale, friction_scale=ovr.friction_scale,
     )
-    bias_acc = chol_solve(dyn.chol, dyn.bias)
+    bias_acc = dyn.solve(dyn.bias)
 
     def sub(carry, it):
         q, qd, opos, oquat, olin, oang, lam = carry
@@ -302,7 +301,7 @@ def step(
             friction_scale=ovr.friction_scale,
         )
         tau = stable_pd_torque(q, qd, targets, kp, kd, h, m.effort_limit)
-        qd_free = qd - h * bias_acc + h * chol_solve(dyn.chol, tau)
+        qd_free = qd - h * bias_acc + h * dyn.solve(tau)
         olin_free = olin * (1.0 - h * p.obj_linear_damping) + h * g_obj
         oang_free = oang * (1.0 - h * p.obj_angular_damping) + gyroscopic_delta(oquat, scene.shapes.inertia_diag, oang, h)
         out = solve_prepared(prep, qd_free, olin_free, oang_free, p.solver, lam)

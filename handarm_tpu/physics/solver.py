@@ -32,7 +32,7 @@ import numpy as np
 
 from handarm_tpu.math.quat import skew
 from handarm_tpu.physics.contacts import Contacts, ContactSlots
-from handarm_tpu.physics.dynamics import chol_solve, free_body_inv_inertia_world
+from handarm_tpu.physics.dynamics import free_body_inv_inertia_world
 from handarm_tpu.physics.kinematics import FK, ModelArrays, point_jacobian
 from handarm_tpu.physics.shapes import ObjectShapes
 
@@ -136,7 +136,7 @@ class _Prep(NamedTuple):
 
 
 def _prepare(
-    m, fk, chol, slots, contacts, shapes, obj_pos, obj_quat, h, params,
+    m, fk, Minv, slots, contacts, shapes, obj_pos, obj_quat, h, params,
     mass_scale=None, friction_scale=None,
 ):
     B, C = contacts.depth.shape
@@ -152,8 +152,6 @@ def _prepare(
     t1, t2 = _tangent_basis(n)
     basis = jnp.stack([n, t1, t2], axis=2)
 
-    eye_nv = jnp.broadcast_to(jnp.eye(nv, dtype=dtype), (B, nv, nv))
-    Minv = chol_solve(chol, eye_nv)
 
     has_robot = slots.robot_body >= 0
     body_idx_np = np.where(has_robot, slots.robot_body, 0)
@@ -476,7 +474,7 @@ def solve_prepared(
 def solve_contacts(
     m: ModelArrays,
     fk: FK,
-    chol: jnp.ndarray,
+    Minv: jnp.ndarray,
     slots: ContactSlots,
     contacts: Contacts,
     shapes: ObjectShapes,
@@ -492,7 +490,7 @@ def solve_contacts(
     friction_scale: jnp.ndarray | None = None,  # [B] DR friction multiplier
 ) -> SolverOut:
     prep = _prepare(
-        m, fk, chol, slots, contacts, shapes, obj_pos, obj_quat, h, params,
+        m, fk, Minv, slots, contacts, shapes, obj_pos, obj_quat, h, params,
         mass_scale=mass_scale, friction_scale=friction_scale,
     )
     return solve_prepared(prep, qd, obj_linvel, obj_angvel, params, warm_lam)

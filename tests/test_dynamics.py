@@ -386,7 +386,7 @@ def test_pendulum_energy_stability(dp_path):
         q, qd = carry
         fk = forward_kinematics(m, q)
         dyn = compute_dyn(m, fk, qd, gravity, kp, kd, h)
-        qdd = chol_solve(dyn.chol, -dyn.bias)
+        qdd = dyn.solve(-dyn.bias)
         qd = qd + h * qdd
         q = q + h * qd
         return (q, qd), None
@@ -437,7 +437,7 @@ def test_stable_pd_tracks_target_hand_arm():
         fk = forward_kinematics(m, q)
         dyn = compute_dyn(m, fk, qd, gravity, kp, kd, h)
         tau = stable_pd_torque(q, qd, target, kp, kd, h, m.effort_limit)
-        qdd = chol_solve(dyn.chol, tau - dyn.bias)
+        qdd = dyn.solve(tau - dyn.bias)
         qd = qd + h * qdd
         q = q + h * qd
         return (q, qd), None
