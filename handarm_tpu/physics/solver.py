@@ -62,29 +62,34 @@ class SolverOut(NamedTuple):
     impulse: jnp.ndarray  # [B, C, 3] accumulated (n, t1, t2) impulses
 
 
-def _mass_split(active, onehot_body, body_idx, robot_mask, sides):
-    """1 / (max active-slot count over each slot's participants): scaling
-    per-slot impulse steps by this makes the parallel sweep an averaged
-    projection (bounded for arbitrarily contended bodies)."""
-    counts = active * 0.0 + 1.0  # at least itself
-    body_counts = jnp.einsum("bc,cn->bn", active, onehot_body)
-    counts = jnp.maximum(counts, body_counts[:, body_idx] * robot_mask[None])
-    obj_onehot = None
-    for side in ("a", "b"):
-        sd = sides.get(side)
-        if sd is None:
-            continue
-        onehot = sd[6]
-        obj_onehot = onehot if obj_onehot is None else obj_onehot + onehot
-    if obj_onehot is not None:
-        k_counts = jnp.einsum("bc,ck->bk", active, obj_onehot)
-        for side in ("a", "b"):
-            sd = sides.get(side)
-            if sd is None:
-                continue
-            kidx, _, _, _, mask, _, _ = sd
-            counts = jnp.maximum(counts, k_counts[:, kidx] * mask[None])
-    return 1.0 / jnp.maximum(counts, 1.0)
+def _group_onehot(slots) -> np.ndarray:
+    """Static slot -> contact-group one-hot [C, G]. A group = slots with the
+    same (robot body, obj_a, obj_b) participant signature — e.g. all sample
+    points of object k resting on the table, or the two point-vs-SDF
+    directions of an object pair (merged, since their impulses co-load the
+    same pair)."""
+    keys = {}
+    gid = []
+    for c in range(slots.num_slots):
+        a, b = int(slots.obj_a[c]), int(slots.obj_b[c])
+        pair = (min(a, b), max(a, b))  # merge both directions of a pair
+        key = (int(slots.robot_body[c]), pair)
+        gid.append(keys.setdefault(key, len(keys)))
+    onehot = np.zeros((slots.num_slots, len(keys)), np.float32)
+    onehot[np.arange(slots.num_slots), gid] = 1.0
+    return onehot
+
+
+def _mass_split(active, group_onehot):
+    """1 / (active-slot count within each slot's contact group): the
+    parallel sweep becomes an averaged projection within every group of
+    co-located/co-aligned contacts (which is where Jacobi diverges — many
+    near-parallel constraints on one pair), while sparse cross-group
+    contacts (a fingertip impact vs the table contacts under the object)
+    keep near-full steps so impacts resolve within a substep."""
+    counts = jnp.einsum("bc,cg->bg", active, group_onehot)
+    counts_c = jnp.einsum("bg,cg->bc", counts, group_onehot)
+    return 1.0 / jnp.maximum(counts_c, 1.0)
 
 
 def _tangent_basis(n: jnp.ndarray):
@@ -127,7 +132,7 @@ class _Prep(NamedTuple):
     anc_slot: jnp.ndarray  # [C, nv] static: dof u moves slot c's robot body
     body_idx: np.ndarray  # [C] static robot body per slot (0 if none)
     robot_mask: jnp.ndarray  # [C] 1.0 where slot touches the robot
-    onehot_body: jnp.ndarray  # [C, nb] static robot-body membership
+    group_onehot: jnp.ndarray  # [C, G] static contact-group membership
     has_robot: np.ndarray  # [C] bool (static)
     sides: dict  # side -> (kidx [C], r [B,C,3], Iinv_c [B,C,3,3], invm [C], mask [C], sign, onehot [C,K])
     d_eff: jnp.ndarray | None = None  # [B, C, 3] unmasked effective mass
@@ -163,19 +168,27 @@ def _prepare(
 
     J = MinvJT = None
     if has_robot.any():
-        # generalized unit-impulse columns: B_c[u, i] = anc * screw_u . (p x e_i, e_i)
+        # Per-BODY spatial Delassus blocks H_n = S_n^T Minv S_n (S_n =
+        # ancestor-masked screws of body n): only nb 6x6 blocks per env
+        # instead of per-slot [C, nv, 3] chains — slot effective masses are
+        # then D_c = f_c^T H_{body(c)} f_c with f_c = (p_c x, I).
+        T = jnp.einsum("nu,bua,buv->bnva", m.ancestor_mask, fk.screw, Minv)
+        H = jnp.einsum("bnva,nv,bvc->bnac", T, m.ancestor_mask, fk.screw)
+        H_c = H[:, body_idx_np] * robot_mask[None, :, None, None]  # [B,C,6,6]
         f_unit = jnp.concatenate(
             [skew(contacts.pos), jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, C, 3, 3))],
             axis=-2,
         )  # [B, C, 6(spatial), 3(dir)]
-        Bc = jnp.einsum("bua,bcai->bcui", fk.screw, f_unit) * anc_slot[None, :, :, None]
-        MinvB = jnp.einsum("buv,bcvi->bcui", Minv, Bc)
-        D = jnp.einsum("bcui,bcuj->bcij", Bc, MinvB)
+        D = jnp.einsum("bcsi,bcst,bctj->bcij", f_unit, H_c, f_unit)
         if params.mode == "gs":
             body_idx = jnp.broadcast_to(jnp.asarray(body_idx_np), (B, C))
             J = point_jacobian(m, fk, body_idx, contacts.pos)
             J = J * robot_mask[None, :, None, None]
-            MinvJT = jnp.swapaxes(MinvB, -1, -2)
+            MinvJT = jnp.einsum(
+                "buv,bcvi->bcui", Minv,
+                jnp.einsum("bua,bcai->bcui", fk.screw, f_unit)
+                * anc_slot[None, :, :, None],
+            )  # [B, C, nv, 3]
     else:
         D = jnp.zeros((B, C, 3, 3), dtype)
         if params.mode == "gs":
@@ -228,16 +241,14 @@ def _prepare(
     mu = jnp.asarray(slots.friction, dtype)[None] * (contacts.depth > 0.0)
     if friction_scale is not None:
         mu = mu * friction_scale[:, None]
-    onehot_body_np = np.zeros((C, m.ancestor_mask.shape[0]), np.float32)
-    onehot_body_np[np.arange(C)[has_robot], slots.robot_body[has_robot]] = 1.0
-    onehot_body = jnp.asarray(onehot_body_np, dtype)
-    split = _mass_split(active, onehot_body, body_idx_np, robot_mask, sides)
+    group_onehot = jnp.asarray(_group_onehot(slots), dtype)
+    split = _mass_split(active, group_onehot)
     return _Prep(
         active=active, basis=basis, inv_d=inv_d, bias=bias, mu=mu,
         split=split,
         pos=contacts.pos, screw=fk.screw, ancestor_mask=m.ancestor_mask,
         Minv=Minv, anc_slot=anc_slot, body_idx=body_idx_np,
-        robot_mask=robot_mask, onehot_body=onehot_body,
+        robot_mask=robot_mask, group_onehot=group_onehot,
         has_robot=has_robot, sides=sides,
         d_eff=d_eff, J=J, MinvJT=MinvJT,
     )
@@ -282,9 +293,7 @@ def refresh_prep(
         kidx, _, Iinv_c, invm_c, mask, sign, onehot = sd
         r = contacts.pos - obj_pos[:, kidx]
         sides[side] = (kidx, r, Iinv_c, invm_c, mask, sign, onehot)
-    split = _mass_split(
-        active, prep.onehot_body, prep.body_idx, prep.robot_mask, sides
-    )
+    split = _mass_split(active, prep.group_onehot)
     return prep._replace(
         active=active, basis=basis, inv_d=inv_d, bias=bias, mu=mu,
         split=split, pos=contacts.pos, screw=fk.screw, sides=sides,
@@ -406,7 +415,7 @@ def _solve_gs(prep: _Prep, qd, lv, av, lam0, params: SolverParams):
         fmax = prep.mu[:, c] * new_n
         scale = jnp.where(fmag > fmax, fmax / jnp.maximum(fmag, 1e-9), 1.0)
         new_lam = jnp.stack([new_n, ft1 * scale, ft2 * scale], axis=-1)
-        dlam = (new_lam - lam_c) * prep.active[:, c : c + 1]
+        dlam = (new_lam - lam_c) * prep.active[:, c][:, None]
         lam = lam.at[:, c].add(dlam)
         dP = jnp.einsum("bd,bdi->bi", dlam, basis_c)
         qd = qd + jnp.einsum("bvi,bi->bv", prep.MinvJT[:, c], dP)
@@ -418,7 +427,7 @@ def _solve_gs(prep: _Prep, qd, lv, av, lam0, params: SolverParams):
             kvec = onehot[c]
             dPm = dP * mask[c]
             lv = lv + sign * jnp.einsum(
-                "bi,k->bki", dPm * invm_c[:, c : c + 1], kvec
+                "bi,k->bki", dPm * invm_c[:, c][:, None], kvec
             )
             dw = jnp.einsum("bij,bj->bi", Iinv_c[:, c], jnp.cross(r[:, c], dPm))
             av = av + sign * jnp.einsum("bi,k->bki", dw, kvec)
