@@ -168,27 +168,22 @@ def _prepare(
 
     J = MinvJT = None
     if has_robot.any():
-        # Per-BODY spatial Delassus blocks H_n = S_n^T Minv S_n (S_n =
-        # ancestor-masked screws of body n): only nb 6x6 blocks per env
-        # instead of per-slot [C, nv, 3] chains — slot effective masses are
-        # then D_c = f_c^T H_{body(c)} f_c with f_c = (p_c x, I).
-        T = jnp.einsum("nu,bua,buv->bnva", m.ancestor_mask, fk.screw, Minv)
-        H = jnp.einsum("bnva,nv,bvc->bnac", T, m.ancestor_mask, fk.screw)
-        H_c = H[:, body_idx_np] * robot_mask[None, :, None, None]  # [B,C,6,6]
+        # generalized unit-impulse columns: B_c[u, i] = anc * screw_u . (p x e_i, e_i)
+        # (a per-body 6x6 Delassus-block formulation was tried and measured
+        # slower on TPU — the [B,C,6,6] gather materialization costs more
+        # than this chain)
         f_unit = jnp.concatenate(
             [skew(contacts.pos), jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, C, 3, 3))],
             axis=-2,
         )  # [B, C, 6(spatial), 3(dir)]
-        D = jnp.einsum("bcsi,bcst,bctj->bcij", f_unit, H_c, f_unit)
+        Bc = jnp.einsum("bua,bcai->bcui", fk.screw, f_unit) * anc_slot[None, :, :, None]
+        MinvB = jnp.einsum("buv,bcvi->bcui", Minv, Bc)
+        D = jnp.einsum("bcui,bcuj->bcij", Bc, MinvB)
         if params.mode == "gs":
             body_idx = jnp.broadcast_to(jnp.asarray(body_idx_np), (B, C))
             J = point_jacobian(m, fk, body_idx, contacts.pos)
             J = J * robot_mask[None, :, None, None]
-            MinvJT = jnp.einsum(
-                "buv,bcvi->bcui", Minv,
-                jnp.einsum("bua,bcai->bcui", fk.screw, f_unit)
-                * anc_slot[None, :, :, None],
-            )  # [B, C, nv, 3]
+            MinvJT = MinvB  # [B, C, nv, 3]
     else:
         D = jnp.zeros((B, C, 3, 3), dtype)
         if params.mode == "gs":
