@@ -105,3 +105,55 @@ def test_env_from_yaml_reference_style_config():
     assert env.num_actions == 11
     # the declarative obs list composes proprio + object + task groups
     assert "sih_fingertip_to_target_object_pos" in env.obs_slices
+
+
+def test_sih_servo_spline_calibration():
+    """Servo-tick -> joint mapping matches an independent scipy natural
+    cubic spline through the same calibration tables, including the
+    feedback-coupled distal joints and the mimicking little finger
+    (reference ur5sih.py:437-527)."""
+    from scipy.interpolate import CubicSpline
+
+    from handarm_tpu.robots.ur5sih import (
+        SERVO_UPPER,
+        _INDEX_PROX,
+        _THUMB_PROX,
+        build_sih_splines,
+        servo_to_joint_targets,
+    )
+
+    splines = build_sih_splines()
+    ticks = jnp.asarray(np.tile(SERVO_UPPER * 0.5, (3, 1)), jnp.float32)
+    dof_pos = jnp.zeros((3, 11), jnp.float32)
+    out = np.asarray(servo_to_joint_targets(splines, ticks, dof_pos))
+    assert out.shape == (3, 11)
+
+    # thumb opposition is the linear servo map
+    np.testing.assert_allclose(
+        out[:, 0], (-1.571 / 2675.0) * np.asarray(ticks)[:, 0], atol=1e-5
+    )
+    # proximal joints match scipy natural cubic splines on the same knots
+    ref_thumb = CubicSpline(*_THUMB_PROX, bc_type="natural")
+    np.testing.assert_allclose(
+        out[:, 1], -ref_thumb(np.asarray(ticks)[:, 1]), atol=1e-4
+    )
+    ref_index = CubicSpline(*_INDEX_PROX, bc_type="natural")
+    np.testing.assert_allclose(
+        out[:, 3], ref_index(np.asarray(ticks)[:, 2]), atol=1e-4
+    )
+    # little finger mimics the ring finger (targets equal)
+    np.testing.assert_allclose(out[:, 9], out[:, 7], atol=1e-6)
+    np.testing.assert_allclose(out[:, 10], out[:, 8], atol=1e-6)
+    # fully-open command (upper limits): extrapolates the boundary
+    # polynomials exactly like the reference's torchcubicspline (the thumb
+    # servo range intentionally overdrives past the calibration knots)
+    open_out = np.asarray(
+        servo_to_joint_targets(
+            splines, jnp.asarray(SERVO_UPPER, jnp.float32)[None], dof_pos[:1]
+        )
+    )
+    np.testing.assert_allclose(
+        open_out[0, 1], -ref_thumb(SERVO_UPPER[1]), atol=1e-4
+    )
+    # the (calibrated-range) fingers open to near zero
+    assert np.abs(open_out[0, 3:]).max() < 0.2
