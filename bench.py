@@ -1,6 +1,7 @@
 """Benchmark: UR5+SIH lift-task env throughput on the available device.
 
-Prints ONE JSON line:
+Prints progressive JSON lines (one per completed measurement, flushed
+immediately); the LAST line is the headline number:
   {"metric": "env_steps_per_s", "value": N, "unit": "env-steps/s",
    "vs_baseline": N / 1e6}
 vs_baseline is relative to the BASELINE.md north-star target of 1M
@@ -11,6 +12,13 @@ simpler tasks).
 One env-step = one 20 Hz policy step = 3 sim steps x 2 substeps with full
 contact solve (the reference's cadence: Ur5SihMultiObjectManipulation.yaml
 controlFrequencyInv=3, Ur5SihBase.yaml dt=1/60 substeps=2).
+
+Timeout-proofing (round-1 driver run died at rc=124 with no output):
+- a small-shape (1024-env) result is printed and flushed BEFORE the
+  full 8192-env run starts, so a partial run still yields a number;
+- warmup/measure step counts are small; compile goes through the
+  persistent cache in .jax_cache (pre-warmed during the build);
+- all progress/diagnostics go to stderr, stdout carries ONLY JSON lines.
 """
 
 import argparse
@@ -20,15 +28,65 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def emit(sps: float, envs: int) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": "env_steps_per_s",
+                "value": round(sps, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(sps / 1e6, 4),
+                "envs": envs,
+            }
+        ),
+        flush=True,
+    )
+
+
+def measure(envs: int, steps: int, warmup: int) -> float:
+    import jax
+
+    from handarm_tpu.envs.hand_arm import HandArmConfig, HandArmEnv
+
+    t0 = time.perf_counter()
+    cfg = HandArmConfig(num_envs=envs)
+    env = HandArmEnv(cfg)
+
+    key = jax.random.PRNGKey(0)
+    state, obs = jax.jit(env.reset)(key)
+    step = jax.jit(env.step)
+
+    k = jax.random.PRNGKey(1)
+    actions = 0.1 * jax.random.normal(k, (envs, env.num_actions))
+
+    for _ in range(warmup):
+        state, res = step(state, actions)
+    jax.block_until_ready(res.reward)
+    log(f"[bench] envs={envs} build+compile+warmup "
+        f"{time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, res = step(state, actions)
+    jax.block_until_ready(res.reward)
+    dt = time.perf_counter() - t0
+    return envs * steps / dt
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--envs", type=int, default=int(os.environ.get("BENCH_ENVS", 8192)))
-    p.add_argument("--steps", type=int, default=int(os.environ.get("BENCH_STEPS", 50)))
-    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--steps", type=int, default=int(os.environ.get("BENCH_STEPS", 30)))
+    p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--platform", default=None)
+    p.add_argument("--skip-small", action="store_true",
+                   help="skip the insurance small-shape measurement")
     args = p.parse_args()
 
     from handarm_tpu.utils.jaxinit import force_platform, setup_cache
@@ -37,41 +95,17 @@ def main():
 
     force_platform(args.platform)
     setup_cache()
-    import jax.numpy as jnp
+    log(f"[bench] devices={jax.devices()}")
 
-    from handarm_tpu.envs.hand_arm import HandArmConfig, HandArmEnv
+    if not args.skip_small and args.envs > 1024:
+        try:
+            sps = measure(1024, max(10, args.steps // 2), args.warmup)
+            emit(sps, 1024)
+        except Exception as e:  # insurance path must never kill the real run
+            log(f"[bench] small-shape run failed: {e!r}")
 
-    cfg = HandArmConfig(num_envs=args.envs)
-    env = HandArmEnv(cfg)
-
-    key = jax.random.PRNGKey(0)
-    state, obs = jax.jit(env.reset)(key)
-    step = jax.jit(env.step)
-
-    k = jax.random.PRNGKey(1)
-    actions = 0.1 * jax.random.normal(k, (args.envs, env.num_actions))
-
-    for _ in range(args.warmup):
-        state, res = step(state, actions)
-    jax.block_until_ready(res.reward)
-
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, res = step(state, actions)
-    jax.block_until_ready(res.reward)
-    dt = time.perf_counter() - t0
-
-    sps = args.envs * args.steps / dt
-    print(
-        json.dumps(
-            {
-                "metric": "env_steps_per_s",
-                "value": round(sps, 1),
-                "unit": "env-steps/s",
-                "vs_baseline": round(sps / 1e6, 4),
-            }
-        )
-    )
+    sps = measure(args.envs, args.steps, args.warmup)
+    emit(sps, args.envs)
 
 
 if __name__ == "__main__":

@@ -88,7 +88,10 @@ class HandArmConfig:
     )
     # scene: either primitive objects (kind, size, mass) or a mesh dataset
     # (reference Ur5SihMultiObject.yaml objects block)
-    objects: tuple = (("box", (0.032, 0.032, 0.032), 0.1),)  # (kind, size, mass)
+    # default single object: a 6x6x9 cm box, the size class of the
+    # reference's YCB set (master-chef can 10x10 cm, soup can 6.6x10 cm) —
+    # tall enough for the SIH claw's opposition plane to reach its faces
+    objects: tuple = (("box", (0.03, 0.03, 0.045), 0.15),)  # (kind, half-extents, mass)
     object_dataset: tuple = ()  # e.g. (("ycb", ("015_peach", "005_*")),)
     num_objects: int = 0  # objects per env when using a dataset (0 = all)
     table_height: float = 0.5
@@ -429,13 +432,19 @@ class HandArmEnv:
         self.robot_cloud_bodies = rb
         self.robot_cloud_offsets = jnp.asarray(ro, jnp.float32)
         self.goal_cloud_points = jnp.asarray(sphere_points(0.02, 16), jnp.float32)
+        # per-env registry: a copy of the module-level static registry plus
+        # this env's dynamic (K/nv-dependent) terms — two envs with different
+        # object sets in one process never share/clobber entries
+        self.registry = Registry()
+        self.registry.observables.update(REGISTRY.observables)
+        self.registry.actionables.update(REGISTRY.actionables)
         self._register_dynamic_observables()
-        self.active_obs = REGISTRY.resolve_observables(list(cfg.observations))
+        self.active_obs = self.registry.resolve_observables(list(cfg.observations))
         self.obs_slices, self.num_obs = obs_layout(
             self.active_obs, list(cfg.observations)
         )
         if cfg.teacher_observations:
-            self.active_teacher_obs = REGISTRY.resolve_observables(
+            self.active_teacher_obs = self.registry.resolve_observables(
                 list(cfg.teacher_observations)
             )
             self.teacher_obs_slices, self.num_teacher_obs = obs_layout(
@@ -447,7 +456,7 @@ class HandArmEnv:
         actions = cfg.actions
         if cfg.robot != "ur5sih" and actions == HandArmConfig.__dataclass_fields__["actions"].default:
             actions = self.robot.default_actions
-        self.active_actions = REGISTRY.resolve_actionables(list(actions))
+        self.active_actions = self.registry.resolve_actionables(list(actions))
         self.num_actions = sum(a.size for a in self.active_actions)
         self.reset_q = jnp.asarray(self.robot.reset_q, jnp.float32)
         self.initial_pool = None  # set by initialize_pool / first reset
@@ -474,7 +483,7 @@ class HandArmEnv:
     def _register_dynamic_observables(self):
         K = self.cfg_num_objects
         nv = self.art.nv
-        reg = REGISTRY
+        reg = self.registry
 
         reg.observables["dof_position_targets"] = _mk_obs(
             "dof_position_targets", nv,
@@ -511,13 +520,25 @@ class HandArmEnv:
             ),
         )
 
+        def _obb_world(pos, quat, shapes, idx=None):
+            """World pose of the TRUE oriented bounding box: the body pose
+            composed with the precomputed body-frame OBB pose (reference
+            transforms the trimesh OBB per step, multi_object.py:743-772)."""
+            from handarm_tpu.math.quat import quat_mul
+
+            obb_p = shapes.obb_pos if idx is None else shapes.obb_pos[idx]
+            obb_q = shapes.obb_quat if idx is None else shapes.obb_quat[idx]
+            p = pos + quat_rotate(quat, jnp.broadcast_to(obb_p, pos.shape))
+            q = quat_mul(quat, jnp.broadcast_to(obb_q, quat.shape))
+            return p, q
+
         def bbox_all(ctx):
             obj = ctx.state.physics.objects
-            ext = 2.0 * ctx.env.scene.shapes.size  # full extents for boxes
+            shapes = ctx.env.scene.shapes
+            p, q = _obb_world(obj.pos, obj.quat, shapes)
+            ext = 2.0 * shapes.size  # full extents
             ext = jnp.broadcast_to(ext[None], (ctx.batch, K, 3))
-            return jnp.concatenate([obj.pos, obj.quat, ext], axis=-1).reshape(
-                ctx.batch, -1
-            )
+            return jnp.concatenate([p, q, ext], axis=-1).reshape(ctx.batch, -1)
 
         reg.observables["object_bounding_box"] = _mk_obs(
             "object_bounding_box", 10 * K, bbox_all
@@ -525,10 +546,12 @@ class HandArmEnv:
 
         def bbox_target(ctx):
             t = ctx.state.task.target_obj
-            ext = 2.0 * ctx.env.scene.shapes.size[t]
-            return jnp.concatenate(
-                [ctx.target_object_pos, ctx.target_object_quat, ext], axis=-1
+            shapes = ctx.env.scene.shapes
+            p, q = _obb_world(
+                ctx.target_object_pos, ctx.target_object_quat, shapes, t
             )
+            ext = 2.0 * shapes.size[t]
+            return jnp.concatenate([p, q, ext], axis=-1)
 
         reg.observables["target_object_bounding_box"] = _mk_obs(
             "target_object_bounding_box", 10, bbox_target
@@ -555,8 +578,11 @@ class HandArmEnv:
                  for sz in (-1.0, 1.0)]
             )  # [8, 3]
             t = ctx.state.task.target_obj
-            half = self.scene.shapes.size[t]  # [B, 3]
-            pts = corners[None] * half[:, None, :]
+            shapes = self.scene.shapes
+            half = shapes.size[t]  # [B, 3]
+            pts = shapes.obb_pos[t][:, None, :] + quat_rotate(
+                shapes.obb_quat[t][:, None, :], corners[None] * half[:, None, :]
+            )  # OBB corners in body frame
             world = quat_rotate(
                 ctx.target_object_quat[:, None, :], pts
             ) + ctx.target_object_pos[:, None, :]
@@ -572,8 +598,11 @@ class HandArmEnv:
                  for sz in (-1.0, 1.0)]
             )
             t = ctx.state.task.target_obj
-            half = self.scene.shapes.size[t]
-            pts = corners[None] * half[:, None, :]
+            shapes = self.scene.shapes
+            half = shapes.size[t]
+            pts = shapes.obb_pos[t][:, None, :] + quat_rotate(
+                shapes.obb_quat[t][:, None, :], corners[None] * half[:, None, :]
+            )
             world = quat_rotate(
                 ctx.state.task.goal_quat[:, None, :], pts
             ) + ctx.state.task.goal_pos[:, None, :]
@@ -602,7 +631,7 @@ class HandArmEnv:
 
         K = self.cfg_num_objects
         P_out = self.cfg.pointcloud_max_points
-        reg = REGISTRY
+        reg = self.registry
 
         def object_cloud(ctx, types=None):
             obj = ctx.state.physics.objects
@@ -728,7 +757,7 @@ class HandArmEnv:
     def _register_camera_observables(self, cam):
         from handarm_tpu.envs.camera import render_points, visible_pointcloud
 
-        reg = REGISTRY
+        reg = self.registry
         P_out = self.cfg.pointcloud_max_points
 
         def get_render(ctx):
@@ -1081,7 +1110,7 @@ class HandArmEnv:
                 outs[o.name] = v
             else:
                 obs_dict[o.key] = v
-        parts = [outs[name] for name in requested if REGISTRY.observables[name].key == "obs"]
+        parts = [outs[name] for name in requested if self.registry.observables[name].key == "obs"]
         obs = jnp.concatenate(parts, axis=-1) if parts else jnp.zeros((ctx.batch, 0))
         obs = jnp.clip(obs, -self.cfg.clip_observations, self.cfg.clip_observations)
         return (obs, obs_dict) if with_dict else obs

@@ -68,7 +68,7 @@ def load_object(
 
     Caches the baked SDF + samples on disk keyed by path/params."""
     key = hashlib.sha1(
-        f"{urdf_path}:{sdf_resolution}:{num_surface_points}:v2".encode()
+        f"{urdf_path}:{sdf_resolution}:{num_surface_points}:v3".encode()
     ).hexdigest()[:16]
     cache_path = os.path.join(CACHE_DIR, key + ".npz")
     if cache and os.path.exists(cache_path):
@@ -104,10 +104,14 @@ def load_object(
     pts = mesh.sample_surface(num_surface_points, np.random.default_rng(1))
     bound = float(np.linalg.norm(mesh.vertices, axis=-1).max())
 
-    _, R_obb, half_obb = mesh.oriented_bounding_box()
+    c_obb, R_obb, half_obb = mesh.oriented_bounding_box()
+    from handarm_tpu.physics.model import _mat_to_quat
+
     rec = dict(
         kind=MESH_SDF,
         size=np.asarray(half_obb, dtype=np.float64),  # OBB half-extents
+        obb_pos=np.asarray(c_obb, dtype=np.float64),  # OBB pose in body frame
+        obb_quat=_mat_to_quat(np.asarray(R_obb)),
         points=pts,
         point_radius=np.zeros(len(pts)),
         bound_radius=bound,

@@ -21,6 +21,10 @@ import numpy as np
 from handarm_tpu.physics.urdf import JointSpec, UrdfModel, parse_urdf
 
 REVOLUTE, PRISMATIC = 0, 1
+# floating-base dof types: 3 world-axis translations + 3 world-axis rotations
+# (MuJoCo-free-joint-style, but with world-frame angular velocity so the
+# world-frame CRBA/RNEA screws stay trivial)
+FREE_TRANS, FREE_ROT = 2, 3
 
 
 def _mat_to_quat(R: np.ndarray) -> np.ndarray:
@@ -64,8 +68,16 @@ class CollisionSphere:
 
 @dataclass
 class Articulation:
-    """Compiled fixed-base articulation. All arrays are numpy float64 at
-    compile time; the physics engine casts to the compute dtype on use."""
+    """Compiled articulation (fixed- or floating-base). All arrays are
+    numpy float64 at compile time; the physics engine casts to the compute
+    dtype on use.
+
+    Fixed base: one dof per moving body, nb == nv, dof/body indices
+    coincide. Floating base (`floating=True`): dofs 0-5 are the base's
+    world-frame translations/rotations (joint_type FREE_TRANS/FREE_ROT),
+    body 0 is the base link, and joint dof 6+j drives body 1+j; per-dof
+    arrays are [nv]-sized (first 6 rows describe the base dofs), per-body
+    inertial arrays are [nb]-sized."""
 
     name: str
     nv: int
@@ -96,6 +108,15 @@ class Articulation:
     sites: dict[str, Site] = field(default_factory=dict)
     collision_spheres: list[CollisionSphere] = field(default_factory=list)
     actuated_joint_names: list[str] = field(default_factory=list)
+    # floating-base topology (None = fixed base, derived trivially)
+    floating: bool = False
+    body_parent: np.ndarray | None = None  # [nb] int, -1 = world
+    body_dof: np.ndarray | None = None  # [nb] int dof driving body (-1 base)
+    dof_body: np.ndarray | None = None  # [nv] int body each dof moves first
+
+    @property
+    def nb(self) -> int:
+        return len(self.body_names)
 
     @property
     def site_names(self) -> list[str]:

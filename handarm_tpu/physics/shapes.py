@@ -45,6 +45,12 @@ class ObjectShapes(NamedTuple):
     sdf_spacing: jnp.ndarray | None = None  # [K] voxel edge length
     sdf_field: jnp.ndarray | None = None  # [K, R, R, R, 4] distance+unit grad
     # (combined so one trilinear gather yields distance AND normal)
+    # oriented bounding box in BODY frame (identity/zero for primitives whose
+    # frame is the box frame; mesh objects carry the PCA OBB pose so the
+    # bounding-box observable reports the true box — reference precomputes
+    # the OBB with trimesh and transforms it per step, multi_object.py:743)
+    obb_pos: jnp.ndarray | None = None  # [K, 3]
+    obb_quat: jnp.ndarray | None = None  # [K, 4] wxyz body->obb
 
     @property
     def num_objects(self) -> int:
@@ -169,6 +175,10 @@ def stack_objects(objs: list[dict], dtype=jnp.float32) -> ObjectShapes:
         inv_mass=f(1.0 / np.maximum(mass, 1e-9)),
         inertia_diag=f(np.stack([o["inertia_diag"] for o in objs])),
         friction=f(np.array([o["friction"] for o in objs])),
+        obb_pos=f(np.stack([o.get("obb_pos", np.zeros(3)) for o in objs])),
+        obb_quat=f(np.stack(
+            [o.get("obb_quat", np.array([1.0, 0, 0, 0])) for o in objs]
+        )),
         sdf_grid=sdf_grid,
         sdf_lo=sdf_lo,
         sdf_spacing=sdf_spacing,

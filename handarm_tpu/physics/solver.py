@@ -45,7 +45,10 @@ class SolverParams(NamedTuple):
     warm_start: float = 0.9  # fraction of last substep's impulses reapplied
     max_depenetration_vel: float = 0.5
     activation_margin: float = 0.0
-    restitution: float = 0.0
+    restitution: float = 0.0  # Newtonian bounce: target separating velocity
+    # = -restitution * pre-solve approach velocity (for impacts faster than
+    # restitution_threshold; PhysX bounceThreshold analog)
+    restitution_threshold: float = 0.2
     mode: str = "jacobi"  # "jacobi" (vectorized, default) | "gs" (sequential)
     relaxation: float = 1.0  # jacobi sweep gain (scaled by mass splitting)
     # mass splitting: each slot's impulse step is divided by the number of
@@ -80,16 +83,54 @@ def _group_onehot(slots) -> np.ndarray:
     return onehot
 
 
-def _mass_split(active, group_onehot):
-    """1 / (active-slot count within each slot's contact group): the
-    parallel sweep becomes an averaged projection within every group of
-    co-located/co-aligned contacts (which is where Jacobi diverges — many
-    near-parallel constraints on one pair), while sparse cross-group
-    contacts (a fingertip impact vs the table contacts under the object)
-    keep near-full steps so impacts resolve within a substep."""
+def _obj_incidence(slots, num_objects: int):
+    """Static (group_obj [G, K], slot_obj_a [C, K], slot_obj_b [C, K])
+    incidence for the across-group level of mass splitting."""
+    onehot = _group_onehot(slots)
+    C, G = onehot.shape
+    K = max(num_objects, 1)
+    slot_a = np.zeros((C, K), np.float32)
+    slot_b = np.zeros((C, K), np.float32)
+    for c in range(C):
+        if slots.obj_a[c] >= 0:
+            slot_a[c, slots.obj_a[c]] = 1.0
+        if slots.obj_b[c] >= 0:
+            slot_b[c, slots.obj_b[c]] = 1.0
+    group_obj = (onehot.T @ (slot_a + slot_b) > 0).astype(np.float32)  # [G, K]
+    return group_obj, slot_a, slot_b
+
+
+def _mass_split(active, group_onehot, group_obj=None, slot_obj=None):
+    """Two-level mass splitting for the parallel sweep.
+
+    Level 1 — within-group: divide by the active-slot count of each slot's
+    contact group (same (robot body, pair) signature — e.g. the sample
+    points of an object resting on the table). Makes co-aligned constraint
+    bundles an averaged projection, where naive Jacobi diverges.
+
+    Level 2 — across groups per object: divide by the number of DISTINCT
+    active groups touching each slot's object participants. Opposing
+    constraint systems on one light body (thumb + finger groups squeezing a
+    0.1 kg box) have Jacobi spectral radius ~1 and blow a resting object to
+    the 20 m/s clamp within one step without this; averaging across groups
+    restores the convergent averaged-projection property. Sparse impacts
+    (a fingertip hitting a table-resting box: 2 groups) keep 1/2-steps, so
+    impacts still resolve within a substep."""
     counts = jnp.einsum("bc,cg->bg", active, group_onehot)
     counts_c = jnp.einsum("bg,cg->bc", counts, group_onehot)
-    return 1.0 / jnp.maximum(counts_c, 1.0)
+    split = 1.0 / jnp.maximum(counts_c, 1.0)
+    if group_obj is not None:
+        slot_obj_a, slot_obj_b = slot_obj
+        g_active = (counts > 0.0).astype(active.dtype)  # [B, G]
+        groups_on_obj = jnp.einsum("bg,gk->bk", g_active, group_obj)  # [B, K]
+        # per-slot factor: worst (max) group count over the slot's two
+        # object participants (sum would over-damp object-object contacts
+        # to the point of breaking stacking impacts)
+        fa = jnp.einsum("bk,ck->bc", groups_on_obj, slot_obj_a)
+        fb = jnp.einsum("bk,ck->bc", groups_on_obj, slot_obj_b)
+        factor = jnp.maximum(fa, fb)
+        split = split / jnp.maximum(factor, 1.0)
+    return split
 
 
 def _tangent_basis(n: jnp.ndarray):
@@ -133,6 +174,8 @@ class _Prep(NamedTuple):
     body_idx: np.ndarray  # [C] static robot body per slot (0 if none)
     robot_mask: jnp.ndarray  # [C] 1.0 where slot touches the robot
     group_onehot: jnp.ndarray  # [C, G] static contact-group membership
+    group_obj: jnp.ndarray  # [G, K] static: group g touches object k
+    slot_obj: tuple  # ([C, K], [C, K]) static one-hots per side (a, b)
     has_robot: np.ndarray  # [C] bool (static)
     sides: dict  # side -> (kidx [C], r [B,C,3], Iinv_c [B,C,3,3], invm [C], mask [C], sign, onehot [C,K])
     d_eff: jnp.ndarray | None = None  # [B, C, 3] unmasked effective mass
@@ -237,13 +280,17 @@ def _prepare(
     if friction_scale is not None:
         mu = mu * friction_scale[:, None]
     group_onehot = jnp.asarray(_group_onehot(slots), dtype)
-    split = _mass_split(active, group_onehot)
+    go_np, sa_np, sb_np = _obj_incidence(slots, K)
+    group_obj = jnp.asarray(go_np, dtype)
+    slot_obj = (jnp.asarray(sa_np, dtype), jnp.asarray(sb_np, dtype))
+    split = _mass_split(active, group_onehot, group_obj, slot_obj)
     return _Prep(
         active=active, basis=basis, inv_d=inv_d, bias=bias, mu=mu,
         split=split,
         pos=contacts.pos, screw=fk.screw, ancestor_mask=m.ancestor_mask,
         Minv=Minv, anc_slot=anc_slot, body_idx=body_idx_np,
         robot_mask=robot_mask, group_onehot=group_onehot,
+        group_obj=group_obj, slot_obj=slot_obj,
         has_robot=has_robot, sides=sides,
         d_eff=d_eff, J=J, MinvJT=MinvJT,
     )
@@ -288,7 +335,8 @@ def refresh_prep(
         kidx, _, Iinv_c, invm_c, mask, sign, onehot = sd
         r = contacts.pos - obj_pos[:, kidx]
         sides[side] = (kidx, r, Iinv_c, invm_c, mask, sign, onehot)
-    split = _mass_split(active, prep.group_onehot)
+    split = _mass_split(active, prep.group_onehot, prep.group_obj,
+                        prep.slot_obj)
     return prep._replace(
         active=active, basis=basis, inv_d=inv_d, bias=bias, mu=mu,
         split=split, pos=contacts.pos, screw=fk.screw, sides=sides,
@@ -452,6 +500,16 @@ def solve_prepared(
     prep across a sim step's substeps is the TGS idiom (PhysX evaluates
     contacts/Jacobians once per step and substeps against them)."""
     B, C = prep.active.shape
+    if params.restitution > 0.0:
+        # restitution bias from the PRE-solve (and pre-warm-start) approach
+        # speed: impacts faster than the threshold rebound at e*|vn|; the
+        # normal constraint then drives vn toward max(baumgarte, e*|vn0|).
+        v0 = _rel_velocity(prep, qd, obj_linvel, obj_angvel)
+        vn0 = jnp.einsum("bci,bci->bc", v0, prep.basis[:, :, 0])
+        bounce = params.restitution * jnp.where(
+            vn0 < -params.restitution_threshold, -vn0, 0.0
+        )
+        prep = prep._replace(bias=jnp.maximum(prep.bias, bounce))
     if warm_lam is None or params.warm_start <= 0.0:
         lam0 = jnp.zeros((B, C, 3), qd.dtype)
     else:

@@ -35,7 +35,8 @@ TINY_ARM = """
 """
 
 
-def tiny_scene(tmp_path, objs, table_height=0.0, spheres=None, substeps=2):
+def tiny_scene(tmp_path, objs, table_height=0.0, spheres=None, substeps=2,
+               params=None):
     p = tmp_path / "tiny.urdf"
     p.write_text(TINY_ARM)
     art = compile_urdf(str(p))
@@ -57,7 +58,7 @@ def tiny_scene(tmp_path, objs, table_height=0.0, spheres=None, substeps=2):
         art, shapes, spheres, geom,
         kp=np.full(art.nv, 50.0), kd=np.full(art.nv, 5.0),
         base_pos=(0.0, 0.0, 1.0),
-        params=SimParams(substeps=substeps),
+        params=params or SimParams(substeps=substeps),
     )
     return scene
 
@@ -120,6 +121,76 @@ def test_robot_sphere_pushes_box(tmp_path):
     x1 = float(state.objects.pos[0, 0, 0])
     assert np.all(np.isfinite(np.asarray(state.objects.pos)))
     assert x1 < x0 - 0.02, (x0, x1)
+
+
+def test_restitution_bounce(tmp_path):
+    """A sphere dropped with restitution e rebounds to ~e^2 of its fall
+    height (Newtonian bounce via the solver's restitution bias)."""
+    from handarm_tpu.physics.solver import SolverParams
+
+    scene = tiny_scene(
+        tmp_path, [make_sphere_object(0.04, mass=0.1)],
+        params=SimParams(substeps=2, solver=SolverParams(restitution=0.8)),
+    )
+    # fall height 0.5 m -> impact ~3.13 m/s -> rebound apex ~ 0.8^2 * 0.5 = 0.32
+    state = initial_state(scene, B=2, obj_pos0=jnp.asarray([[0.5, 0.2, 0.54]]))
+    stepj = jax.jit(lambda s: step(scene, s)[0])
+    apex = 0.0
+    for t in range(70):
+        state = stepj(state)
+        z = float(np.asarray(state.objects.pos[:, 0, 2]).min())
+        if t > 22:  # after first impact (~0.32 s)
+            apex = max(apex, z - 0.04)
+    assert 0.18 < apex < 0.45, apex
+
+
+def test_zero_restitution_no_bounce(tmp_path):
+    """Default params: the same drop stays dead on the ground (regression
+    guard that the restitution path is inert at e=0)."""
+    scene = tiny_scene(tmp_path, [make_sphere_object(0.04, mass=0.1)])
+    state = initial_state(scene, B=1, obj_pos0=jnp.asarray([[0.5, 0.2, 0.54]]))
+    stepj = jax.jit(lambda s: step(scene, s)[0])
+    apex = 0.0
+    for t in range(70):
+        state = stepj(state)
+        if t > 26:
+            apex = max(apex, float(state.objects.pos[0, 0, 2]) - 0.04)
+    assert apex < 0.05, apex
+
+
+def test_jacobi_vs_gs_cross_check(tmp_path):
+    """The vectorized Jacobi solver and the PhysX-faithful sequential-impulse
+    GS solver settle the same scene to the same configuration (bounded
+    divergence on a stack + robot-sphere scene)."""
+    from handarm_tpu.physics.solver import SolverParams
+
+    objs = [
+        make_box_object([0.05, 0.05, 0.05], mass=0.3),
+        make_box_object([0.04, 0.04, 0.04], mass=0.2),
+    ]
+    finals = {}
+    for mode in ("jacobi", "gs"):
+        scene = tiny_scene(
+            tmp_path, objs,
+            params=SimParams(
+                substeps=2, solver=SolverParams(mode=mode, iterations=8)
+            ),
+        )
+        state = initial_state(
+            scene, B=1,
+            obj_pos0=jnp.asarray([[0.5, 0.0, 0.06], [0.5, 0.0, 0.2]]),
+        )
+        state = run_steps(scene, state, 120)
+        finals[mode] = (
+            np.asarray(state.objects.pos[0]),
+            np.asarray(state.robot.q[0]),
+        )
+    pos_j, q_j = finals["jacobi"]
+    pos_g, q_g = finals["gs"]
+    np.testing.assert_allclose(pos_j, pos_g, atol=0.02)
+    np.testing.assert_allclose(q_j, q_g, atol=0.05)
+    # both must actually be settled stacks
+    np.testing.assert_allclose(pos_j[:, 2], [0.05, 0.14], atol=0.015)
 
 
 def test_stack_two_boxes(tmp_path):
