@@ -73,9 +73,9 @@ class ObjectState(NamedTuple):
 class PhysicsState(NamedTuple):
     robot: RobotState
     objects: ObjectState
-    contact_impulse: jnp.ndarray  # [B, C, 3] last substep's impulses
-    # (warm-start cache; slots are statically identified so impulses stay
-    # meaningful across substeps)
+    contact_impulse: jnp.ndarray  # [B, C, 3] last substep's impulses,
+    # WORLD frame (warm-start cache; slots are statically identified and
+    # the solver reprojects onto the fresh contact basis on reapply)
 
 
 class EnvOverrides(NamedTuple):
@@ -231,15 +231,8 @@ def substep(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides(
     oav = jnp.clip(out.obj_angvel, -p.max_obj_angvel, p.max_obj_angvel)
     opos_new, oquat_new = free_body_integrate(opos, oquat, olv, oav, h)
 
-    # contact force diagnostics (world frame), from accumulated impulses
-    from handarm_tpu.physics.solver import _tangent_basis
-
-    t1, t2 = _tangent_basis(contacts.normal)
-    f_slot = (
-        out.impulse[..., 0:1] * contacts.normal
-        + out.impulse[..., 1:2] * t1
-        + out.impulse[..., 2:3] * t2
-    ) / h  # [B, C, 3]
+    # contact force diagnostics from accumulated world-frame impulses
+    f_slot = out.impulse / h  # [B, C, 3]
     body_f = jnp.einsum("bci,cn->bni", f_slot, scene.slot_to_body)
     obj_f = jnp.einsum("bci,ck->bki", -f_slot, scene.slot_to_obj)
     info = StepInfo(
@@ -355,13 +348,7 @@ def step(
         sub, carry, None, length=p.substeps
     )
 
-    from handarm_tpu.physics.solver import _tangent_basis
-
-    last_n = normals[-1]
-    t1, t2 = _tangent_basis(last_n)
-    f_slot = (
-        lam[..., 0:1] * last_n + lam[..., 1:2] * t1 + lam[..., 2:3] * t2
-    ) / h
+    f_slot = lam / h  # world-frame impulses
     info = StepInfo(
         body_contact_force=jnp.einsum("bci,cn->bni", f_slot, scene.slot_to_body),
         obj_contact_force=jnp.einsum("bci,ck->bki", -f_slot, scene.slot_to_obj),

@@ -62,7 +62,7 @@ class SolverOut(NamedTuple):
     qd: jnp.ndarray  # [B, nv]
     obj_linvel: jnp.ndarray  # [B, K, 3]
     obj_angvel: jnp.ndarray  # [B, K, 3]
-    impulse: jnp.ndarray  # [B, C, 3] accumulated (n, t1, t2) impulses
+    impulse: jnp.ndarray  # [B, C, 3] accumulated impulses, WORLD frame
 
 
 def _group_onehot(slots) -> np.ndarray:
@@ -514,8 +514,27 @@ def solve_prepared(
         lam0 = jnp.zeros((B, C, 3), qd.dtype)
     else:
         # warm start: re-apply a fraction of last substep's impulses up
-        # front; iterations then solve for the (small) correction
-        lam0 = params.warm_start * warm_lam * prep.active[..., None]
+        # front; iterations then solve for the (small) correction.
+        # warm_lam is a WORLD-frame impulse vector: it must be projected
+        # onto the CURRENT contact basis (and re-clipped to the friction
+        # cone) before reapplication. Reapplying cached (n,t1,t2)
+        # components in a rotated basis pumps energy into any rotating
+        # grasped object (observed: a pinched box spinning up to 20 rad/s
+        # and ejecting) — PhysX likewise caches per-pair impulses and
+        # reprojects them each step.
+        ln = jnp.maximum(
+            jnp.einsum("bci,bci->bc", warm_lam, prep.basis[:, :, 0]), 0.0
+        )
+        lt1 = jnp.einsum("bci,bci->bc", warm_lam, prep.basis[:, :, 1])
+        lt2 = jnp.einsum("bci,bci->bc", warm_lam, prep.basis[:, :, 2])
+        fmag = jnp.sqrt(lt1 * lt1 + lt2 * lt2)
+        fmax = prep.mu * ln
+        scale = jnp.where(fmag > fmax, fmax / jnp.maximum(fmag, 1e-9), 1.0)
+        lam0 = (
+            params.warm_start
+            * jnp.stack([ln, lt1 * scale, lt2 * scale], axis=-1)
+            * prep.active[..., None]
+        )
         dP0 = jnp.einsum("bcd,bcdi->bci", lam0, prep.basis)
         qd, obj_linvel, obj_angvel = _apply_impulses(
             prep, qd, obj_linvel, obj_angvel, dP0
@@ -530,7 +549,10 @@ def solve_prepared(
         )
     else:
         raise ValueError(params.mode)
-    return SolverOut(qd=qd, obj_linvel=lv, obj_angvel=av, impulse=lam)
+    # impulse is returned in the WORLD frame (warm-start cache + force
+    # diagnostics both want the frame-independent vector)
+    impulse_w = jnp.einsum("bcd,bcdi->bci", lam, prep.basis)
+    return SolverOut(qd=qd, obj_linvel=lv, obj_angvel=av, impulse=impulse_w)
 
 
 def solve_contacts(

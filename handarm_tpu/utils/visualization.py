@@ -14,10 +14,32 @@ import os
 import numpy as np
 
 
-def _scene_artists(ax, env, state, env_idx: int):
+_BOX_EDGES = [
+    (0, 1), (0, 2), (0, 4), (1, 3), (1, 5), (2, 3),
+    (2, 6), (3, 7), (4, 5), (4, 6), (5, 7), (6, 7),
+]
+
+
+def _draw_box(ax, pos, quat, half, color):
+    """Wireframe of an oriented box (pos/quat world pose, half-extents)."""
+    from handarm_tpu.math.quat import quat_rotate
     import jax.numpy as jnp
 
-    from handarm_tpu.physics.kinematics import forward_kinematics
+    signs = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        np.float32,
+    )
+    corners = np.asarray(
+        quat_rotate(jnp.asarray(quat)[None], jnp.asarray(signs * half[None]))
+    ) + pos[None]
+    for a, b in _BOX_EDGES:
+        ax.plot(*zip(corners[a], corners[b]), c=color, lw=1.0)
+
+
+def _scene_artists(ax, env, state, env_idx: int, scale: float = 1.0):
+    import jax.numpy as jnp
+
+    from handarm_tpu.physics.kinematics import forward_kinematics, site_poses
 
     scene = env.scene
     # table
@@ -40,22 +62,37 @@ def _scene_artists(ax, env, state, env_idx: int):
     )
     c = np.asarray(centers[0])
     r = np.asarray(scene.spheres.radius)
-    ax.scatter(c[:, 0], c[:, 1], c[:, 2], s=(r * 300) ** 2, c="tab:blue",
-               alpha=0.4, label="robot")
+    ax.scatter(c[:, 0], c[:, 1], c[:, 2], s=(r * 300 * scale) ** 2,
+               c="tab:blue", alpha=0.4, label="robot")
+    # fingertip sites (if the env exposes them)
+    sites = getattr(env, "fingertip_sites", None)
+    if sites is not None:
+        _, tp = site_poses(fk, *sites, base_quat=scene.base_quat[None],
+                           base_pos=scene.base_pos[None])
+        tp = np.asarray(tp[0])
+        ax.scatter(tp[:, 0], tp[:, 1], tp[:, 2], s=25 * scale**2, c="tab:red",
+                   marker="^", label="tips")
 
     op = np.asarray(state.physics.objects.pos[env_idx])
+    oq = np.asarray(state.physics.objects.quat[env_idx])
+    size = np.asarray(scene.shapes.size)
+    kind = np.asarray(scene.shapes.kind)
     tgt = int(np.asarray(state.task.target_obj[env_idx]))
     for k in range(op.shape[0]):
         col = "tab:green" if k == tgt else "tab:orange"
-        ax.scatter(*op[k], s=120, c=col, marker="s")
+        ax.scatter(*op[k], s=40, c=col, marker="s")
+        if kind[k] in (0, 3):  # box-like (box / mesh OBB): draw wireframe
+            _draw_box(ax, op[k], oq[k], size[k], col)
     gp = np.asarray(state.task.goal_pos[env_idx])
     ax.scatter(*gp, s=150, c="tab:red", marker="*", label="goal")
 
 
 def render_state(env, state, env_idx: int = 0, path: str | None = None,
-                 elev: float = 25, azim: float = -60):
+                 elev: float = 25, azim: float = -60,
+                 center=None, extent: float | None = None):
     """Render one env's state to a matplotlib 3D figure (returns the figure,
-    optionally saves a PNG)."""
+    optionally saves a PNG). center/extent zoom the view to center±extent
+    (center may be "object" to track the target object)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -63,10 +100,20 @@ def render_state(env, state, env_idx: int = 0, path: str | None = None,
 
     fig = plt.figure(figsize=(6, 5))
     ax = fig.add_subplot(111, projection="3d")
-    _scene_artists(ax, env, state, env_idx)
-    ax.set_xlim(-0.3, 0.9)
-    ax.set_ylim(0.0, 1.2)
-    ax.set_zlim(0.0, 1.2)
+    if center is not None and isinstance(center, str) and center == "object":
+        tgt = int(np.asarray(state.task.target_obj[env_idx]))
+        center = np.asarray(state.physics.objects.pos[env_idx, tgt])
+    scale = 1.0 if extent is None else min(3.0, 0.45 / extent)
+    _scene_artists(ax, env, state, env_idx, scale=scale)
+    if center is None:
+        ax.set_xlim(-0.3, 0.9)
+        ax.set_ylim(0.0, 1.2)
+        ax.set_zlim(0.0, 1.2)
+    else:
+        e = extent or 0.25
+        ax.set_xlim(center[0] - e, center[0] + e)
+        ax.set_ylim(center[1] - e, center[1] + e)
+        ax.set_zlim(center[2] - e, center[2] + e)
     ax.view_init(elev=elev, azim=azim)
     ax.set_xlabel("x"); ax.set_ylabel("y"); ax.set_zlabel("z")
     if path:
