@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from handarm_tpu.math.quat import quat_integrate
 from handarm_tpu.math.spatial import (
@@ -79,9 +80,14 @@ def mass_matrix(m: ModelArrays, fk: FK, I_spatial: jnp.ndarray) -> jnp.ndarray:
     Ic = jnp.einsum("nv,bnij->bvij", m.ancestor_mask, I_spatial)
     f = jnp.einsum("bvij,bvj->bvi", Ic, fk.screw)  # [B, nv, 6]
     Mraw = jnp.einsum("bui,bvi->buv", fk.screw, f)
-    # keep entry (u, v) iff u is an ancestor-or-self dof of v's body:
-    # dof indices coincide with body indices for this fixed-base chain.
-    keep = m.ancestor_mask.T  # keep[u, v] = anc[v, u]
+    # keep entry (u, v) iff u is an ancestor-or-self dof of v, upper-
+    # triangularized (see model_arrays.dof_keep) so pairs of dofs sharing
+    # a body (floating base) are counted once by the symmetrization
+    keep = (
+        m.dof_keep
+        if m.dof_keep is not None
+        else m.ancestor_mask.T  # legacy fixed-base mask
+    )
     upper = Mraw * keep
     diag = jnp.einsum("buu->bu", upper)
     return upper + jnp.swapaxes(upper, -1, -2) - jnp.vectorize(jnp.diag, signature="(n)->(n,n)")(diag)
@@ -105,16 +111,29 @@ def bias_forces(
     a0 = jnp.concatenate(
         [jnp.zeros((B, 3), qd.dtype), jnp.broadcast_to(-gravity, (B, 3))], axis=-1
     )
+    nb = m.nb or m.nv
+    body_parent = m.body_parent if m.body_parent is not None else m.parent
+    dof_body = m.dof_body if m.dof_body is not None else np.arange(m.nv)
+    # dofs driving each body from its parent (1 per joint body; 6 for a
+    # floating base, whose velocity-product term v x (sum s_j qd_j) =
+    # v x v = 0 — a free body has constant spatial velocity in world
+    # Plücker coordinates, gyroscopics enter via the v x* I v force below)
+    start = 6 if m.floating else 0
     avp = []
-    for i in range(m.nv):
-        p = int(m.parent[i])
+    for b in range(nb):
+        p = int(body_parent[b])
         a_par = a0 if p < 0 else avp[p]
+        if m.floating and b == 0:
+            avp.append(a_par)
+            continue
+        # the single dof driving body b
+        i = int(np.nonzero(dof_body[start:] == b)[0][0]) + start
         s_i = fk.screw[:, i]
         # barrier: see forward_kinematics — prevents exponential recompute
         # of the acceleration chain under XLA:CPU fusion
         avp.append(
             jax.lax.optimization_barrier(
-                a_par + motion_cross(body_vel[:, i], s_i) * qd[:, i : i + 1]
+                a_par + motion_cross(body_vel[:, b], s_i) * qd[:, i : i + 1]
             )
         )
     avp = jnp.stack(avp, axis=1)  # [B, nb, 6]

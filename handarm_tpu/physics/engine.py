@@ -59,8 +59,15 @@ class SimParams(NamedTuple):
 
 class RobotState(NamedTuple):
     q: jnp.ndarray  # [B, nv]
-    qd: jnp.ndarray  # [B, nv]
+    qd: jnp.ndarray  # [B, nv]; floating base: qd[:, 0:3] = linear velocity
+    # at the world origin (origin Plücker), qd[:, 3:6] = world angular vel
     targets: jnp.ndarray  # [B, nv] PD position targets
+    # floating-base pose (None for fixed-base articulations)
+    base_pos: jnp.ndarray | None = None  # [B, 3]
+    base_quat: jnp.ndarray | None = None  # [B, 4] wxyz
+    # extra generalized torque (effort-mode actuation, e.g. mjcf motors;
+    # None = pure PD). Applied on top of the stable-PD torque.
+    tau_ext: jnp.ndarray | None = None  # [B, nv]
 
 
 class ObjectState(NamedTuple):
@@ -132,7 +139,7 @@ def build_scene(
     m = model_arrays(art, dtype)
     slots = make_contact_slots(shapes, spheres, static_friction=1.0)
     C = slots.num_slots
-    nb, K = art.nv, shapes.num_objects
+    nb, K = art.nb, shapes.num_objects
     s2b = np.zeros((C, nb), dtype=np.float32)
     s2o = np.zeros((C, max(K, 1)), dtype=np.float32)
     for c in range(C):
@@ -162,29 +169,36 @@ def build_scene(
 def _propagate_fk(m, body_quat, body_pos, screw, qd, h):
     """First-order rigid propagation of body poses + world joint screws by
     the current body twists — replaces the sequential FK chain inside the
-    substep loop (the chain runs once per step in `step`)."""
+    substep loop (the chain runs once per step in `step`). Floating-base
+    dofs keep their constant world screws; joint screws are regenerated
+    from their body's propagated pose."""
     from handarm_tpu.math.quat import quat_integrate, quat_rotate
-    from handarm_tpu.physics.model import REVOLUTE
+    from handarm_tpu.physics.model import PRISMATIC, REVOLUTE
 
     sv = screw * qd[..., None]
     bv = jnp.einsum("nj,bja->bna", m.ancestor_mask, sv)  # [B, nb, 6]
     w, v0 = bv[..., :3], bv[..., 3:]
     new_pos = body_pos + h * (v0 + jnp.cross(w, body_pos))
     new_quat = quat_integrate(body_quat, w, h)
-    axis_w = quat_rotate(new_quat, jnp.broadcast_to(m.axis, body_pos.shape))
-    rev = jnp.concatenate([axis_w, jnp.cross(new_pos, axis_w)], axis=-1)
+    dof_body = m.dof_body if m.dof_body is not None else np.arange(m.nv)
+    dq = new_quat[:, dof_body]  # [B, nv, 4]
+    dp = new_pos[:, dof_body]  # [B, nv, 3]
+    axis_w = quat_rotate(dq, jnp.broadcast_to(m.axis, dp.shape))
+    rev = jnp.concatenate([axis_w, jnp.cross(dp, axis_w)], axis=-1)
     pri = jnp.concatenate([jnp.zeros_like(axis_w), axis_w], axis=-1)
-    is_rev = jnp.asarray(
-        (np.asarray(m.joint_type) == REVOLUTE).astype(np.float32)
-    )[None, :, None]
-    return new_quat, new_pos, rev * is_rev + pri * (1.0 - is_rev)
+    jt = np.asarray(m.joint_type)
+    is_rev = jnp.asarray((jt == REVOLUTE).astype(np.float32))[None, :, None]
+    is_pri = jnp.asarray((jt == PRISMATIC).astype(np.float32))[None, :, None]
+    is_free = 1.0 - is_rev - is_pri
+    return new_quat, new_pos, rev * is_rev + pri * is_pri + screw * is_free
 
 
 def substep(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides()):
     m = scene.model
     p = scene.params
     h = p.dt / p.substeps
-    q, qd, targets = state.robot
+    rob = state.robot
+    q, qd, targets = rob.q, rob.qd, rob.targets
     opos, oquat, olin, oang = state.objects
     B = q.shape[0]
 
@@ -194,9 +208,15 @@ def substep(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides(
         kd = kd[None] * ovr.gain_scale
     gravity = scene.gravity if ovr.gravity is None else ovr.gravity
 
-    fk = forward_kinematics(m, q, scene.base_quat[None], scene.base_pos[None])
+    if m.floating:
+        base_quat, base_pos = rob.base_quat, rob.base_pos
+    else:
+        base_quat, base_pos = scene.base_quat[None], scene.base_pos[None]
+    fk = forward_kinematics(m, q, base_quat, base_pos)
     dyn = compute_dyn(m, fk, qd, gravity, kp, kd, h)
     tau = stable_pd_torque(q, qd, targets, kp, kd, h, m.effort_limit)
+    if rob.tau_ext is not None:
+        tau = tau + rob.tau_ext
     qd_free = qd + h * dyn.solve(tau - dyn.bias)
 
     g_obj = gravity if gravity.ndim == 1 else gravity[:, None, :]
@@ -227,6 +247,18 @@ def substep(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides(
     qd_new = jnp.where(below, jnp.maximum(qd_new, 0.0), qd_new)
     qd_new = jnp.where(above, jnp.minimum(qd_new, 0.0), qd_new)
 
+    if m.floating:
+        # base pose integrates from the origin-Plücker base velocity:
+        # the base point at world position p moves at v_o + w x p
+        from handarm_tpu.math.quat import quat_integrate
+
+        v_o, w = qd_new[:, 0:3], qd_new[:, 3:6]
+        base_pos_new = base_pos + h * (v_o + jnp.cross(w, base_pos))
+        base_quat_new = quat_integrate(base_quat, w, h)
+        q_new = q_new.at[:, :6].set(0.0)  # base freedoms live in the pose
+    else:
+        base_pos_new, base_quat_new = rob.base_pos, rob.base_quat
+
     olv = jnp.clip(out.obj_linvel, -p.max_obj_linvel, p.max_obj_linvel)
     oav = jnp.clip(out.obj_angvel, -p.max_obj_angvel, p.max_obj_angvel)
     opos_new, oquat_new = free_body_integrate(opos, oquat, olv, oav, h)
@@ -238,11 +270,15 @@ def substep(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides(
     info = StepInfo(
         body_contact_force=body_f,
         obj_contact_force=obj_f,
-        max_penetration=jnp.max(jnp.maximum(contacts.depth, 0.0), axis=-1),
+        max_penetration=jnp.max(jnp.maximum(contacts.depth, 0.0), axis=-1, initial=0.0),
     )
 
     new_state = PhysicsState(
-        robot=RobotState(q=q_new, qd=qd_new, targets=targets),
+        robot=RobotState(
+            q=q_new, qd=qd_new, targets=targets,
+            base_pos=base_pos_new, base_quat=base_quat_new,
+            tau_ext=rob.tau_ext,
+        ),
         objects=ObjectState(pos=opos_new, quat=oquat_new, linvel=olv, angvel=oav),
         contact_impulse=out.impulse,
     )
@@ -278,7 +314,8 @@ def step(
     m = scene.model
     p = scene.params
     h = p.dt / p.substeps
-    q, qd, targets = state.robot
+    rob = state.robot
+    q, qd, targets = rob.q, rob.qd, rob.targets
     opos, oquat, olin, oang = state.objects
 
     kp, kd = scene.kp, scene.kd
@@ -289,7 +326,11 @@ def step(
     g_obj = gravity if gravity.ndim == 1 else gravity[:, None, :]
 
     # heavy, once per step: dynamics + contact mass structure
-    fk0 = forward_kinematics(m, q, scene.base_quat[None], scene.base_pos[None])
+    if m.floating:
+        base_quat0, base_pos0 = rob.base_quat, rob.base_pos
+    else:
+        base_quat0, base_pos0 = scene.base_quat[None], scene.base_pos[None]
+    fk0 = forward_kinematics(m, q, base_quat0, base_pos0)
     dyn = compute_dyn(m, fk0, qd, gravity, kp, kd, h)
     contacts0 = generate_contacts(
         scene.slots, scene.shapes, scene.spheres, scene.geom,
@@ -320,6 +361,8 @@ def step(
             friction_scale=ovr.friction_scale,
         )
         tau = stable_pd_torque(q, qd, targets, kp, kd, h, m.effort_limit)
+        if rob.tau_ext is not None:
+            tau = tau + rob.tau_ext
         qd_free = qd - h * bias_acc + h * dyn.solve(tau)
         olin_free = olin * (1.0 - h * p.obj_linear_damping) + h * g_obj
         oang_free = oang * (1.0 - h * p.obj_angular_damping) + gyroscopic_delta(oquat, scene.shapes.inertia_diag, oang, h)
@@ -344,18 +387,29 @@ def step(
         q, qd, opos, oquat, olin, oang, state.contact_impulse,
         fk0.body_quat, fk0.body_pos, fk0.screw,
     )
-    (q, qd, opos, oquat, olin, oang, lam, *_), (normals, depths) = jax.lax.scan(
+    (q, qd, opos, oquat, olin, oang, lam, bq_f, bp_f, _), (normals, depths) = jax.lax.scan(
         sub, carry, None, length=p.substeps
     )
+
+    if m.floating:
+        # the propagated pose of body 0 IS the integrated base pose (the
+        # twist propagation in _propagate_fk is exactly the base integrator)
+        base_pos_f, base_quat_f = bp_f[:, 0], bq_f[:, 0]
+        q = q.at[:, :6].set(0.0)
+    else:
+        base_pos_f, base_quat_f = rob.base_pos, rob.base_quat
 
     f_slot = lam / h  # world-frame impulses
     info = StepInfo(
         body_contact_force=jnp.einsum("bci,cn->bni", f_slot, scene.slot_to_body),
         obj_contact_force=jnp.einsum("bci,ck->bki", -f_slot, scene.slot_to_obj),
-        max_penetration=jnp.max(depths[-1], axis=-1),
+        max_penetration=jnp.max(depths[-1], axis=-1, initial=0.0),
     )
     new_state = PhysicsState(
-        robot=RobotState(q=q, qd=qd, targets=targets),
+        robot=RobotState(
+            q=q, qd=qd, targets=targets,
+            base_pos=base_pos_f, base_quat=base_quat_f, tau_ext=rob.tau_ext,
+        ),
         objects=ObjectState(pos=opos, quat=oquat, linvel=olin, angvel=oang),
         contact_impulse=lam,
     )
@@ -368,10 +422,25 @@ def initial_state(
     q0: jnp.ndarray | None = None,
     obj_pos0: jnp.ndarray | None = None,
     obj_quat0: jnp.ndarray | None = None,
+    base_pos0: jnp.ndarray | None = None,
+    base_quat0: jnp.ndarray | None = None,
     dtype=jnp.float32,
 ) -> PhysicsState:
     nv = scene.model.nv
     K = scene.shapes.num_objects
+    if scene.model.floating:
+        bp0 = (
+            jnp.broadcast_to(scene.base_pos, (B, 3)).astype(dtype)
+            if base_pos0 is None
+            else jnp.broadcast_to(base_pos0, (B, 3)).astype(dtype)
+        )
+        bq0 = (
+            jnp.broadcast_to(scene.base_quat, (B, 4)).astype(dtype)
+            if base_quat0 is None
+            else jnp.broadcast_to(base_quat0, (B, 4)).astype(dtype)
+        )
+    else:
+        bp0 = bq0 = None
     q = jnp.zeros((B, nv), dtype) if q0 is None else jnp.broadcast_to(q0, (B, nv)).astype(dtype)
     opos = (
         jnp.zeros((B, K, 3), dtype)
@@ -384,7 +453,10 @@ def initial_state(
         else jnp.broadcast_to(obj_quat0, (B, K, 4)).astype(dtype)
     )
     return PhysicsState(
-        robot=RobotState(q=q, qd=jnp.zeros((B, nv), dtype), targets=q),
+        robot=RobotState(
+            q=q, qd=jnp.zeros((B, nv), dtype), targets=q,
+            base_pos=bp0, base_quat=bq0,
+        ),
         objects=ObjectState(
             pos=opos,
             quat=oquat,

@@ -43,10 +43,30 @@ class ModelArrays(NamedTuple):
     joint_type: np.ndarray
     ancestor_mask: jnp.ndarray  # [nb, nv]
     nv: int
+    # floating-base topology (fixed base: nb == nv, dof_body == arange,
+    # body_parent == parent, floating == False)
+    nb: int = 0
+    floating: bool = False
+    dof_body: np.ndarray | None = None  # [nv] body each dof drives
+    body_parent: np.ndarray | None = None  # [nb] parent body (-1 = world)
+    dof_keep: jnp.ndarray | None = None  # [nv, nv] mass-matrix upper mask
 
 
 def model_arrays(art: Articulation, dtype=jnp.float32) -> ModelArrays:
     f = lambda x: jnp.asarray(x, dtype=dtype)
+    nv = art.nv
+    dof_body = (
+        art.dof_body if art.dof_body is not None else np.arange(nv, dtype=np.int32)
+    )
+    body_parent = (
+        art.body_parent if art.body_parent is not None else art.parent
+    )
+    # keep[u, v] = 1 iff dof u is an ancestor-or-self of dof v, upper-
+    # triangularized (dof order is topological) so the CRBA symmetrization
+    # counts each off-diagonal pair once even when several dofs share a
+    # body (the 6 floating-base dofs)
+    anc_np = np.asarray(art.ancestor_mask)
+    keep_np = anc_np[dof_body].T * np.triu(np.ones((nv, nv)))
     return ModelArrays(
         tree_pos=f(art.tree_pos),
         tree_quat=f(art.tree_quat),
@@ -63,7 +83,12 @@ def model_arrays(art: Articulation, dtype=jnp.float32) -> ModelArrays:
         parent=art.parent,
         joint_type=art.joint_type,
         ancestor_mask=f(art.ancestor_mask),
-        nv=art.nv,
+        nv=nv,
+        nb=art.nb,
+        floating=art.floating,
+        dof_body=dof_body,
+        body_parent=body_parent,
+        dof_keep=f(keep_np),
     )
 
 
@@ -81,7 +106,8 @@ def forward_kinematics(
     base_quat: jnp.ndarray | None = None,
     base_pos: jnp.ndarray | None = None,
 ) -> FK:
-    """q: [B, nv]. base pose: [B?, 4]/[B?, 3] world pose of the fixed base."""
+    """q: [B, nv]. base pose: [B?, 4]/[B?, 3] — the world pose of the fixed
+    base frame, or (floating) the world pose of the base body itself."""
     B = q.shape[0]
     if base_quat is None:
         base_quat = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0], q.dtype), (B, 4))
@@ -92,9 +118,30 @@ def forward_kinematics(
     else:
         base_pos = jnp.broadcast_to(base_pos, (B, 3))
 
-    quats, poss, screws = [], [], []
-    for i in range(m.nv):
-        p = int(m.parent[i])
+    nb = m.nb or m.nv
+    quats: list = [None] * nb
+    poss: list = [None] * nb
+    screws: list = [None] * m.nv
+    start = 0
+    if m.floating:
+        # base body pose comes straight from state; the 6 base dofs have
+        # constant world screws: translations (0, e_i) + rotations about
+        # axes through the world origin (e_i, 0) — a basis of se(3) fixed
+        # in the parent (world) frame, so CRBA/RNEA treat them as ordinary
+        # joints (see model.py compile_model docstring)
+        quats[0], poss[0] = base_quat, base_pos
+        z = jnp.zeros((B, 3), q.dtype)
+        for k in range(3):
+            e_k = jnp.broadcast_to(jnp.eye(3, dtype=q.dtype)[k], (B, 3))
+            screws[k] = jnp.concatenate([z, e_k], axis=-1)
+            screws[3 + k] = jnp.concatenate([e_k, z], axis=-1)
+        start = 6
+
+    dof_body = m.dof_body if m.dof_body is not None else np.arange(m.nv)
+    body_parent = m.body_parent if m.body_parent is not None else m.parent
+    for i in range(start, m.nv):
+        b = int(dof_body[i])
+        p = int(body_parent[b])
         pq = base_quat if p < 0 else quats[p]
         pp = base_pos if p < 0 else poss[p]
         # parent frame -> joint child frame at q=0
@@ -105,20 +152,20 @@ def forward_kinematics(
             bq = quat_mul(jq, quat_from_axis_angle(axis_b, q[:, i]))
             bp = jp
             a_w = quat_rotate(bq, axis_b)
-            screws.append(jnp.concatenate([a_w, jnp.cross(bp, a_w)], axis=-1))
+            screws[i] = jnp.concatenate([a_w, jnp.cross(bp, a_w)], axis=-1)
         elif m.joint_type[i] == PRISMATIC:
             bq = jq
             a_w = quat_rotate(bq, axis_b)
             bp = jp + a_w * q[:, i : i + 1]
-            screws.append(jnp.concatenate([jnp.zeros_like(a_w), a_w], axis=-1))
+            screws[i] = jnp.concatenate([jnp.zeros_like(a_w), a_w], axis=-1)
         else:
             raise NotImplementedError
         # materialize each joint's pose: without this barrier XLA:CPU's
         # fusion duplicates the upstream quaternion chain per consumer,
         # giving exponential recompute along the kinematic chain
         bq, bp = jax.lax.optimization_barrier((bq, bp))
-        quats.append(bq)
-        poss.append(bp)
+        quats[b] = bq
+        poss[b] = bp
 
     return FK(
         body_quat=jnp.stack(quats, axis=1),

@@ -140,12 +140,37 @@ def compile_urdf(
     floating_base: bool = False,
     default_density: float = 1000.0,
 ) -> Articulation:
-    if floating_base:
-        raise NotImplementedError("free bodies are handled in maximal coordinates")
     urdf = parse_urdf(path)
     return compile_model(
-        urdf, default_armature=default_armature, default_density=default_density
+        urdf,
+        default_armature=default_armature,
+        default_density=default_density,
+        floating_base=floating_base,
     )
+
+
+def compile_mjcf(
+    path: str, default_armature: float = 0.0, default_density: float = 0.0
+):
+    """MJCF asset -> (Articulation, MjcfExtras). Floating base follows the
+    model's <freejoint>; joint armature comes from the mjcf defaults."""
+    from handarm_tpu.physics.mjcf import parse_mjcf
+
+    urdf, extras = parse_mjcf(path)
+    art = compile_model(
+        urdf,
+        default_armature=default_armature,
+        default_density=default_density,
+        floating_base=extras.floating,
+    )
+    # per-joint armature from mjcf joint defaults
+    if extras.joint_armature:
+        arm = art.armature.copy()
+        for i, jn in enumerate(art.joint_names):
+            if jn in extras.joint_armature:
+                arm[i] = extras.joint_armature[jn]
+        art.armature = arm
+    return art, extras
 
 
 def _estimate_missing_inertials(urdf: UrdfModel, density: float) -> None:
@@ -204,8 +229,20 @@ def _estimate_missing_inertials(urdf: UrdfModel, density: float) -> None:
 
 
 def compile_model(
-    urdf: UrdfModel, default_armature: float = 1e-3, default_density: float = 1000.0
+    urdf: UrdfModel,
+    default_armature: float = 1e-3,
+    default_density: float = 1000.0,
+    floating_base: bool = False,
 ) -> Articulation:
+    """Compile a parsed model into a flat articulation.
+
+    Fixed base: one dof per moving body (dof index == body index).
+    Floating base: dofs 0-5 are the base's 6 world-frame freedoms —
+    3 translations (FREE_TRANS, constant screws (0, e_i)) then 3 rotations
+    about axes through the WORLD ORIGIN (FREE_ROT, screws (e_i, 0)). Both
+    families are constant in the parent (world) frame, so the world-frame
+    CRBA/RNEA sweeps in dynamics.py apply unchanged. Body 0 is the root
+    link; its pose lives in RobotState (not in q)."""
     if default_density > 0:
         _estimate_missing_inertials(urdf, default_density)
     # children adjacency
@@ -213,11 +250,13 @@ def compile_model(
     for j in urdf.joints:
         by_parent.setdefault(j.parent, []).append(j)
 
-    nv = 0
-    parent_list: list[int] = []
+    parent_list: list[int] = []  # per dof: parent dof index
     jtype: list[int] = []
     jnames: list[str] = []
-    bnames: list[str] = []
+    bnames: list[str] = []  # per body
+    body_parent: list[int] = []  # per body: parent body index
+    body_dof: list[int] = []  # per body: driving dof (-1 for floating base)
+    dof_body: list[int] = []  # per dof: body it drives
     tree_pos: list[np.ndarray] = []
     tree_quat: list[np.ndarray] = []
     axis: list[np.ndarray] = []
@@ -228,6 +267,29 @@ def compile_model(
     body_first_moment: list[np.ndarray] = []  # mass * com
     body_inertia_origin: list[np.ndarray] = []  # inertia about body-frame origin
     sites: dict[str, Site] = {}
+
+    BIG = 1e9
+    if floating_base:
+        eye = np.eye(3)
+        for k in range(6):
+            parent_list.append(k - 1)
+            jtype.append(FREE_TRANS if k < 3 else FREE_ROT)
+            jnames.append(f"free_{'tr'[k // 3]}{'xyz'[k % 3]}")
+            dof_body.append(0)
+            tree_pos.append(np.zeros(3))
+            tree_quat.append(np.array([1.0, 0, 0, 0]))
+            axis.append(eye[k % 3].copy())
+            limits.append((-BIG, BIG, 0.0, BIG))
+            dyn.append((0.0, 0.0))
+
+    def new_body(name: str, parent_body: int, dof: int) -> int:
+        bnames.append(name)
+        body_parent.append(parent_body)
+        body_dof.append(dof)
+        body_mass.append(0.0)
+        body_first_moment.append(np.zeros(3))
+        body_inertia_origin.append(np.zeros((3, 3)))
+        return len(bnames) - 1
 
     def add_link_inertia(body: int, R: np.ndarray, t: np.ndarray, link) -> None:
         """Fold link's inertia (link frame) into moving body `body`, where
@@ -246,7 +308,6 @@ def compile_model(
     def visit(link_name: str, body: int, R: np.ndarray, t: np.ndarray) -> None:
         """(R, t): transform from moving body `body` frame to `link_name`
         frame (body == -1 means the fixed base frame)."""
-        nonlocal nv
         link = urdf.links[link_name]
         if body >= 0:
             add_link_inertia(body, R, t, link)
@@ -256,49 +317,65 @@ def compile_model(
             if j.joint_type == "fixed":
                 visit(j.child, body, Rj, tj)
             elif j.joint_type in ("revolute", "prismatic", "continuous"):
-                b = nv
-                nv += 1
-                parent_list.append(body)
+                dof = len(parent_list)
+                parent_list.append(-1 if body < 0 else body_dof_last[body])
                 jtype.append(PRISMATIC if j.joint_type == "prismatic" else REVOLUTE)
                 jnames.append(j.name)
-                bnames.append(j.child)
                 tree_pos.append(tj)
                 tree_quat.append(_mat_to_quat(Rj))
-                axis.append(j.axis)
+                # mjcf (and sloppy urdf) axes may be non-unit, e.g. the ant's
+                # "-1 1 0" ankles; FK's axis-angle quats require unit axes
+                axis.append(np.asarray(j.axis) / np.linalg.norm(j.axis))
                 if j.joint_type == "continuous":
                     limits.append((-2 * np.pi, 2 * np.pi, j.effort, j.velocity))
                 else:
                     limits.append((j.lower, j.upper, j.effort, j.velocity))
                 dyn.append((j.damping, j.friction))
-                body_mass.append(0.0)
-                body_first_moment.append(np.zeros(3))
-                body_inertia_origin.append(np.zeros((3, 3)))
+                b = new_body(j.child, body, dof)
+                dof_body.append(b)
+                body_dof_last.append(dof)
                 visit(j.child, b, np.eye(3), np.zeros(3))
             else:
                 raise NotImplementedError(f"joint type {j.joint_type}")
 
-    visit(urdf.root_link, -1, np.eye(3), np.zeros(3))
+    # body_dof_last[b]: the last dof on the path to body b (its driving dof,
+    # or dof 5 for the floating base body)
+    body_dof_last: list[int] = []
+    if floating_base:
+        new_body(urdf.root_link, -1, -1)
+        body_dof_last.append(5)
+        visit(urdf.root_link, 0, np.eye(3), np.zeros(3))
+    else:
+        visit(urdf.root_link, -1, np.eye(3), np.zeros(3))
+
+    nv = len(parent_list)
+    nb = len(bnames)
 
     mass = np.array(body_mass)
     com = np.stack(
         [fm / m if m > 0 else np.zeros(3) for fm, m in zip(body_first_moment, mass)]
-    )
+    ) if nb else np.zeros((0, 3))
     inertia = []
-    for i in range(nv):
+    for i in range(nb):
         c = com[i]
         shift = mass[i] * ((c @ c) * np.eye(3) - np.outer(c, c))
         inertia.append(body_inertia_origin[i] - shift)  # back to about-com
-    inertia = np.stack(inertia) if nv else np.zeros((0, 3, 3))
+    inertia = np.stack(inertia) if nb else np.zeros((0, 3, 3))
 
-    anc = np.zeros((nv, nv))
-    for i in range(nv):
-        j = i
+    # ancestor_mask[b, u] = 1 iff dof u moves body b: walk the dof chain up
+    # from each body's driving dof
+    anc = np.zeros((nb, nv))
+    for b in range(nb):
+        j = body_dof_last[b]
         while j >= 0:
-            anc[i, j] = 1.0
+            anc[b, j] = 1.0
             j = parent_list[j]
 
     lim = np.array(limits) if limits else np.zeros((0, 4))
     dyn_arr = np.array(dyn) if dyn else np.zeros((0, 2))
+    armature = np.full(nv, default_armature)
+    if floating_base:
+        armature[:6] = 0.0  # no phantom mass on the free base
 
     return Articulation(
         name=urdf.name,
@@ -320,7 +397,11 @@ def compile_model(
         velocity_limit=lim[:, 3],
         joint_damping=dyn_arr[:, 0],
         joint_friction=dyn_arr[:, 1],
-        armature=np.full(nv, default_armature),
+        armature=armature,
         sites=sites,
         actuated_joint_names=urdf.actuated_joint_names,
+        floating=floating_base,
+        body_parent=np.array(body_parent, dtype=np.int32),
+        body_dof=np.array(body_dof, dtype=np.int32),
+        dof_body=np.array(dof_body, dtype=np.int32),
     )

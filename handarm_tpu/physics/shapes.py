@@ -128,7 +128,17 @@ def make_sphere_object(radius: float, mass: float, friction: float = 1.0):
 
 def stack_objects(objs: list[dict], dtype=jnp.float32) -> ObjectShapes:
     """Stack per-object dicts (from make_*_object or the mesh pipeline) into
-    an ObjectShapes pytree with zero-padded point sets."""
+    an ObjectShapes pytree with zero-padded point sets. An empty list yields
+    a K=0 scene (robot-only, e.g. locomotion tasks)."""
+    if not objs:
+        z = lambda *s: jnp.zeros(s, dtype)
+        return ObjectShapes(
+            kind=np.zeros((0,), np.int32), size=z(0, 3),
+            points=z(0, 1, 3), point_mask=z(0, 1), point_radius=z(0, 1),
+            bound_radius=z(0), mass=z(0), inv_mass=z(0),
+            inertia_diag=z(0, 3), friction=z(0),
+            obb_pos=z(0, 3), obb_quat=z(0, 4),
+        )
     K = len(objs)
     P = max(o["points"].shape[0] for o in objs)
     points = np.zeros((K, P, 3))
