@@ -197,6 +197,36 @@ register_classic(
 )
 
 
+def _ant_factory(num_envs, episode_length):
+    from handarm_tpu.envs.locomotion import make_ant
+
+    return make_ant(num_envs=num_envs, episode_length=episode_length)
+
+
+def _humanoid_factory(num_envs, episode_length):
+    from handarm_tpu.envs.locomotion import make_humanoid
+
+    return make_humanoid(num_envs=num_envs, episode_length=episode_length)
+
+
+# PPO overrides mirror the reference train configs (cfg/train/AntPPO.yaml:
+# units [256,128,64], gamma 0.99, tau 0.95, lr 3e-4 adaptive kl 0.008,
+# horizon 16, minibatch 32768; HumanoidPPO.yaml: units [400,200,100],
+# horizon 32, minibatch 32768)
+register_classic(
+    "Ant",
+    _ant_factory,
+    dict(hidden=(256, 128, 64), horizon=16, minibatch_size=32768,
+         gamma=0.99, kl_threshold=0.008, reward_scale=0.01),
+)
+register_classic(
+    "Humanoid",
+    _humanoid_factory,
+    dict(hidden=(400, 200, 100), horizon=32, minibatch_size=32768,
+         gamma=0.99, kl_threshold=0.008, reward_scale=0.01),
+)
+
+
 def make_env(name: str, overrides: list[str] | None = None):
     if name in CLASSIC_TASKS:
         factory, ppo_overrides = CLASSIC_TASKS[name]

@@ -51,6 +51,11 @@ class SimParams(NamedTuple):
     # keep lockstep envs finite even under pathological randomization
     max_obj_linvel: float = 20.0
     max_obj_angvel: float = 100.0
+    # floating-base caps (PhysX rigid-body maxLinearVelocity /
+    # maxAngularVelocity analogs), applied to the base's physical point
+    # velocity / angular velocity, not the origin-Plücker coordinates
+    max_base_linvel: float = 20.0
+    max_base_angvel: float = 64.0
     # per-substep velocity damping (PhysX linear/angular damping analog);
     # also bleeds off energy injected by deep-penetration resolution
     obj_linear_damping: float = 0.03
@@ -193,6 +198,20 @@ def _propagate_fk(m, body_quat, body_pos, screw, qd, h):
     return new_quat, new_pos, rev * is_rev + pri * is_pri + screw * is_free
 
 
+def _clamp_base_velocity(m, qd, base_pos, p: SimParams):
+    """Clamp the floating base's physical velocities (see SimParams). The
+    origin-Plücker linear dofs can be legitimately large far from the world
+    origin (v_o = v_p - w x p), so clamp (v_point, w) and map back."""
+    if not m.floating:
+        return qd
+    w = qd[:, 3:6]
+    v_b = qd[:, 0:3] + jnp.cross(w, base_pos)
+    w_c = jnp.clip(w, -p.max_base_angvel, p.max_base_angvel)
+    v_c = jnp.clip(v_b, -p.max_base_linvel, p.max_base_linvel)
+    v_o = v_c - jnp.cross(w_c, base_pos)
+    return jnp.concatenate([v_o, w_c, qd[:, 6:]], axis=-1)
+
+
 def substep(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides()):
     m = scene.model
     p = scene.params
@@ -239,6 +258,8 @@ def substep(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides(
 
     # integrate
     qd_new = jnp.clip(out.qd, -m.velocity_limit * 4.0, m.velocity_limit * 4.0)
+    if m.floating:
+        qd_new = _clamp_base_velocity(m, qd_new, base_pos, p)
     q_new = q + h * qd_new
     # hard joint limits: clamp position, kill outward velocity
     low, high = m.q_min + p.joint_limit_margin, m.q_max - p.joint_limit_margin
@@ -368,6 +389,8 @@ def step(
         oang_free = oang * (1.0 - h * p.obj_angular_damping) + gyroscopic_delta(oquat, scene.shapes.inertia_diag, oang, h)
         out = solve_prepared(prep, qd_free, olin_free, oang_free, p.solver, lam)
         qd_new = jnp.clip(out.qd, -m.velocity_limit * 4.0, m.velocity_limit * 4.0)
+        if m.floating:
+            qd_new = _clamp_base_velocity(m, qd_new, bp[:, 0], p)
         q_new = q + h * qd_new
         low, high = m.q_min + p.joint_limit_margin, m.q_max - p.joint_limit_margin
         below, above = q_new < low, q_new > high
