@@ -25,7 +25,9 @@ def make_controller(env, pitch=-1.45):
     import jax
     import jax.numpy as jnp
     from handarm_tpu.physics.kinematics import forward_kinematics, site_poses
-    from handarm_tpu.math.quat import quat_mul, quat_conj, quat_from_axis_angle
+    from handarm_tpu.math.quat import (
+        quat_mul, quat_conj, quat_from_axis_angle, quat_slerp,
+    )
 
     m = env.scene.model
     site = env.fingertip_sites
@@ -45,12 +47,23 @@ def make_controller(env, pitch=-1.45):
         jnp.array([[1.0, 0.0, 0.0]]), jnp.array([pitch])
     )[0]
     q_tgt_const = quat_mul(q_tilt, fq0[0, 0])
+    # reset-pose anchors: the Cartesian schedule starts HERE and moves
+    # continuously, so the incremental IK only ever corrects a few mm/step
+    _, tp0 = site_poses(fk0, *site, base_quat=bq, base_pos=bp)
+    p_reset = jnp.mean(tp0[0, 1:], axis=0)
+    q_reset_flange = fq0[0, 0]
+
+    # fixed open-hand model for the IK: during close/lift the curling
+    # fingers would otherwise drag the arm target around
+    q_hand_ik = q0[6:]
 
     def hand_state(q_full):
         fk = forward_kinematics(m, q_full[None], bq, bp)
         _, tp = site_poses(fk, *site, base_quat=bq, base_pos=bp)
         fq, _ = site_poses(fk, *env.flange_site, base_quat=bq, base_pos=bp)
-        return jnp.mean(tp[0], axis=0), fq[0, 0], fk.screw[0, :6]
+        # FINGER centroid (thumb excluded): the thumb sits ~11 cm away, so
+        # including it biases the mean and parks the fingers on the box top
+        return jnp.mean(tp[0, 1:], axis=0), fq[0, 0], fk.screw[0, :6]
 
     def rotvec_err(q_tgt, q_now):
         qe = quat_mul(q_tgt, quat_conj(q_now))
@@ -63,52 +76,136 @@ def make_controller(env, pitch=-1.45):
 
     dt_policy = env.cfg.dt  # integration step of the relative actionable
 
-    def policy_single(q_full, obj_pos, t):
+    def ik_step(q_arm, q_hand, tgt_p, tgt_q):
+        """One damped Gauss-Newton step of 6D IK on the arm joints.
+
+        Errors are clamped per iteration (8 cm / 0.4 rad) so a distant
+        target never saturates the joint update into a limit cycle."""
+        q_full = jnp.concatenate([q_arm, q_hand])
         p_now, q_now, screw = hand_state(q_full)
-
-        hover = obj_pos + jnp.array([0.02, -0.01, 0.22])
-        grasp = obj_pos + jnp.array([0.02, -0.01, -0.02])
-        frac_d = jnp.clip((t - 70) / 90.0, 0.0, 1.0)
-        tgt_dh = hover + frac_d * (grasp - hover)
-        lift_h = jnp.clip((t - 190) * 0.004, 0.0, 0.45)  # 8 cm/s ascent
-        tgt = jnp.where(t < 190, tgt_dh, grasp + jnp.array([0.0, 0.0, 1.0]) * lift_h)
-
-        # thumb stays opposed (servo 0 at +1: SERVO_UPPER is the opposed
-        # pose, q0=-1.556); flexions close once the claw surrounds the box
-        flex = jnp.where(t >= 160, -1.0, 1.0) * jnp.ones(4)
-        servo_a = jnp.concatenate([jnp.array([1.0]), flex])
-
-        e_pos = tgt - p_now
-        e_rot = rotvec_err(q_tgt_const, q_now)
-        # 6D DLS on the analytic screw Jacobian: J_pos = s_lin + s_ang x p,
-        # J_rot = s_ang (arm dofs are ancestors of every hand body)
+        e_pos = tgt_p - p_now
+        e_rot = rotvec_err(tgt_q, q_now)
+        en = jnp.linalg.norm(e_pos)
+        e_pos = e_pos * jnp.minimum(1.0, 0.08 / jnp.maximum(en, 1e-9))
+        rn = jnp.linalg.norm(e_rot)
+        e_rot = e_rot * jnp.minimum(1.0, 0.4 / jnp.maximum(rn, 1e-9))
+        # analytic screw Jacobian: J_pos = s_lin + s_ang x p, J_rot = s_ang
+        # (the 6 arm dofs are ancestors of every hand body)
         s_ang, s_lin = screw[:, :3], screw[:, 3:]
         Jp = (s_lin + jnp.cross(s_ang, p_now[None])).T  # [3, 6]
         Jr = s_ang.T  # [3, 6]
-        w_rot = 0.12  # position must win: claw orientation is secondary
+        w_rot = 0.5  # claw orientation matters, position wins when infeasible
         J = jnp.concatenate([Jp, w_rot * Jr], axis=0)  # [6, 6]
         err = jnp.concatenate([e_pos, w_rot * e_rot])
-        A = J @ J.T + 1e-3 * jnp.eye(6)
+        A = J @ J.T + 3e-3 * jnp.eye(6)
         dq = J.T @ jnp.linalg.solve(A, err)
-        a_arm = jnp.clip(dq * 2.0 / (dt_policy * env.cfg.arm_action_scale), -0.5, 0.5)
+        return q_arm + jnp.clip(dq, -0.15, 0.15)
+
+    # phase schedule (control steps at 60 Hz)
+    T_REACH, T_DESC, T_CLOSE, T_LIFT = 100, 180, 215, 295
+
+    def smoothstep(x):
+        x = jnp.clip(x, 0.0, 1.0)
+        return x * x * (3.0 - 2.0 * x)
+
+    def policy_single(q_full, arm_target, obj_pos, t):
+        # finger-centroid targets: descend clear of the box's corner-swing
+        # radius (4.2 cm + wobble), slide laterally to the face, then PRESS
+        # 3 cm past it during the close — the press pushes the box into the
+        # descending thumb (the SIH thumb can only reach the box's top/near
+        # edge, so the squeeze must come from the fingers)
+        hover = obj_pos + jnp.array([0.0, 0.075, 0.20])
+        descend = obj_pos + jnp.array([0.0, 0.075, -0.018])
+        grasp = obj_pos + jnp.array([0.0, 0.030, -0.018])
+        # press starts only after the thumb wall is planted (T_CLOSE+30)
+        s_press = smoothstep((t - (T_CLOSE + 30)) / 40.0)
+        press = obj_pos + jnp.array([0.0, 0.030, -0.018])
+        hold = grasp + s_press * (press - grasp)
+        # reach: continuous lerp/slerp from the RESET tip pose to the claw
+        # hover — the tip tracks this line instead of a joint-space sweep
+        # that can plough through the table
+        s_r = smoothstep(t / T_REACH)
+        tgt_reach = p_reset + s_r * (hover - p_reset)
+        q_sched = quat_slerp(q_reset_flange, q_tgt_const, s_r)
+        frac_d = smoothstep((t - T_REACH) / (T_DESC - T_REACH))
+        frac_in = smoothstep((t - T_DESC) / (T_CLOSE - T_DESC))
+        tgt_dh = jnp.where(
+            t < T_REACH,
+            tgt_reach,
+            jnp.where(
+                t < T_DESC,
+                hover + frac_d * (descend - hover),
+                jnp.where(
+                    t < T_CLOSE,
+                    descend + frac_in * (grasp - descend),
+                    hold,
+                ),
+            ),
+        )
+        lift_h = jnp.clip((t - T_LIFT) * 0.0015, 0.0, 0.45)
+        tgt = jnp.where(
+            t < T_LIFT, tgt_dh, press + jnp.array([0.0, 0.0, 1.0]) * lift_h
+        )
+
+        # thumb stays opposed (servo 0 at +1: SERVO_UPPER is the opposed
+        # pose, q0=-1.556). Close choreography (quasi-static, ~1/4 rate —
+        # a full-rate flexion bats the box away):
+        #   1. thumb flexes 26 steps and FREEZES mid-arc: its tip lands at
+        #      the box's near-bottom edge and stays there as a wall
+        #   2. fingers then flex + the arm presses the far face, squeezing
+        #      the box against the planted thumb
+        # symmetric SNAP cage: with the pocket centered on the sphere,
+        # thumb + fingers curl under the equator together before it can
+        # roll clear; after 40 steps a gentle squeeze holds the cage
+        c_cmd = jnp.where(
+            jnp.logical_and(t >= T_CLOSE, t < T_CLOSE + 40), -0.6, -0.05
+        )
+        c_cmd = jnp.where(t < T_CLOSE, 1.0, c_cmd)
+        thumb_flex = c_cmd
+        finger_flex = c_cmd * jnp.ones(3)
+        servo_a = jnp.concatenate(
+            [jnp.array([1.0]), thumb_flex[None], finger_flex]
+        )
+
+        # damped GN IK solved on the CONTROL TARGET arm joints but the
+        # MEASURED hand joints: during the close the curling fingers raise
+        # the finger centroid, so the IK automatically lowers the arm to
+        # keep the pads at box height (implicit hybrid position control —
+        # contact stalls the finger joints, which stalls the arm descent).
+        q_hand = q_full[6:]
+
+        # PD-lag compensation: the measured arm trails the control target
+        # by ~0.05 rad while moving (~2-3 cm at the tip), enough to clip
+        # the box edge on descent. Aim the IK beyond the waypoint by the
+        # measured Cartesian lag (clamped to 3 cm/axis).
+        p_meas, _, _ = hand_state(q_full)
+        p_ctrl, _, _ = hand_state(jnp.concatenate([arm_target, q_hand]))
+        tgt = tgt - jnp.clip(p_meas - p_ctrl, -0.03, 0.03)
+
+        q_ik = arm_target
+        for _ in range(6):
+            q_ik = ik_step(q_ik, q_hand, tgt, q_sched)
+        a_arm = jnp.clip(
+            (q_ik - arm_target) / (dt_policy * env.cfg.arm_action_scale),
+            -1.0, 1.0,
+        )
         return jnp.concatenate([a_arm, servo_a])
 
     def policy(state, t):
-        B = state.physics.robot.q.shape[0]
         tgt_idx = state.task.target_obj
         # anchor on the EPISODE-INITIAL object position: the waypoint schedule
         # must not chase the object once it is grasped and moving
         obj = jnp.take_along_axis(
             state.task.initial_obj_pos, tgt_idx[:, None, None], axis=1
         )[:, 0]
-        return jax.vmap(lambda q, o: policy_single(q, o, t))(
-            state.physics.robot.q, obj
+        return jax.vmap(lambda q, at, o: policy_single(q, at, o, t))(
+            state.physics.robot.q, state.control.arm_target, obj
         )
 
     return policy
 
 
-def run(num_envs=2, steps=260, verbose=True, record=None, cfg_kwargs=None):
+def run(num_envs=2, steps=480, verbose=True, record=None, cfg_kwargs=None):
     import jax
     import jax.numpy as jnp
     from handarm_tpu.envs.hand_arm import HandArmConfig, HandArmEnv
@@ -161,7 +258,7 @@ if __name__ == "__main__":
 
     p = argparse.ArgumentParser()
     p.add_argument("--envs", type=int, default=2)
-    p.add_argument("--steps", type=int, default=260)
+    p.add_argument("--steps", type=int, default=480)
     p.add_argument("--record", default=None)
     args = p.parse_args()
     run(args.envs, args.steps, record=args.record)

@@ -417,6 +417,10 @@ class HandArmEnv:
             params=SimParams(
                 dt=cfg.dt, substeps=cfg.substeps,
                 solver=SolverParams(iterations=cfg.solver_iterations),
+                # reference disables gravity on the robot asset
+                # (base/ur5sih.py:176, base/stretch.py:148): the 120/20 PD
+                # gains are tuned for a gravity-free arm
+                robot_gravity=False,
             ),
         )
         self.fingertip_sites = self._sites(self.robot.fingertip_site_names)

@@ -60,6 +60,11 @@ class SimParams(NamedTuple):
     # also bleeds off energy injected by deep-penetration resolution
     obj_linear_damping: float = 0.03
     obj_angular_damping: float = 0.1
+    # gravity on the robot articulation (PhysX asset_options.disable_gravity
+    # analog — the reference disables it for UR5-SIH and Stretch,
+    # base/ur5sih.py:176, base/stretch.py:148, so the weak reference PD
+    # gains hold pose without sagging). Floating-base locomotion keeps it.
+    robot_gravity: bool = True
 
 
 class RobotState(NamedTuple):
@@ -232,7 +237,8 @@ def substep(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides(
     else:
         base_quat, base_pos = scene.base_quat[None], scene.base_pos[None]
     fk = forward_kinematics(m, q, base_quat, base_pos)
-    dyn = compute_dyn(m, fk, qd, gravity, kp, kd, h)
+    g_rob = gravity if p.robot_gravity else jnp.zeros_like(gravity)
+    dyn = compute_dyn(m, fk, qd, g_rob, kp, kd, h)
     tau = stable_pd_torque(q, qd, targets, kp, kd, h, m.effort_limit)
     if rob.tau_ext is not None:
         tau = tau + rob.tau_ext
@@ -352,7 +358,8 @@ def step(
     else:
         base_quat0, base_pos0 = scene.base_quat[None], scene.base_pos[None]
     fk0 = forward_kinematics(m, q, base_quat0, base_pos0)
-    dyn = compute_dyn(m, fk0, qd, gravity, kp, kd, h)
+    g_rob = gravity if p.robot_gravity else jnp.zeros_like(gravity)
+    dyn = compute_dyn(m, fk0, qd, g_rob, kp, kd, h)
     contacts0 = generate_contacts(
         scene.slots, scene.shapes, scene.spheres, scene.geom,
         opos, oquat, fk0.body_quat, fk0.body_pos,
