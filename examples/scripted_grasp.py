@@ -18,7 +18,7 @@ if os.environ.get("GRASP_PROBE_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")  # probe runs on host CPU
 
 
-def make_controller(env, pitch=-1.45):
+def make_controller(env, pitch=-1.45, plant_thumb=True, yaw=0.0):
     """policy(state, t) -> action: 6D differential IK (analytic screw
     Jacobian) driving a claw grasp — reorient the hand so the fingers point
     down, descend around the object, close the flexions, lift."""
@@ -46,7 +46,21 @@ def make_controller(env, pitch=-1.45):
     q_tilt = quat_from_axis_angle(
         jnp.array([[1.0, 0.0, 0.0]]), jnp.array([pitch])
     )[0]
-    q_tgt_const = quat_mul(q_tilt, fq0[0, 0])
+    # yaw about world z aligns the finger-curl plane with the world -y axis
+    # (measured ~37 deg off; an unaligned curl squirts the object sideways)
+    q_yaw = quat_from_axis_angle(
+        jnp.array([[0.0, 0.0, 1.0]]), jnp.array([yaw])
+    )[0]
+    q_tgt_const = quat_mul(q_yaw, quat_mul(q_tilt, fq0[0, 0]))
+    cy_, sy_ = float(np_.cos(yaw)), float(np_.sin(yaw))
+
+    def yaw_off(off):
+        # rotate a waypoint offset into the yawed claw frame (z unchanged)
+        return jnp.array([
+            cy_ * off[0] - sy_ * off[1],
+            sy_ * off[0] + cy_ * off[1],
+            off[2],
+        ])
     # reset-pose anchors: the Cartesian schedule starts HERE and moves
     # continuously, so the incremental IK only ever corrects a few mm/step
     _, tp0 = site_poses(fk0, *site, base_quat=bq, base_pos=bp)
@@ -102,25 +116,34 @@ def make_controller(env, pitch=-1.45):
         return q_arm + jnp.clip(dq, -0.15, 0.15)
 
     # phase schedule (control steps at 60 Hz)
-    T_REACH, T_DESC, T_CLOSE, T_LIFT = 100, 180, 215, 295
+    T_REACH, T_DESC, T_IN, T_SNAP, T_LIFT = 100, 180, 206, 218, 295
 
     def smoothstep(x):
         x = jnp.clip(x, 0.0, 1.0)
         return x * x * (3.0 - 2.0 * x)
 
-    def policy_single(q_full, arm_target, obj_pos, t):
+    def policy_single(q_full, arm_target, obj0, anchor_xy, t):
+        # xy anchor: chases the object until T_IN (it can roll during the
+        # approach/thumb plant), then FROZEN for move-in/snap/lift; z comes
+        # from the schedule against the initial pose
+        obj_pos = jnp.concatenate([anchor_xy, obj0[2:]])
         # finger-centroid targets: descend clear of the box's corner-swing
         # radius (4.2 cm + wobble), slide laterally to the face, then PRESS
         # 3 cm past it during the close — the press pushes the box into the
         # descending thumb (the SIH thumb can only reach the box's top/near
         # edge, so the squeeze must come from the fingers)
-        hover = obj_pos + jnp.array([0.0, 0.075, 0.20])
-        descend = obj_pos + jnp.array([0.0, 0.075, -0.018])
-        grasp = obj_pos + jnp.array([0.0, 0.030, -0.018])
-        # press starts only after the thumb wall is planted (T_CLOSE+30)
-        s_press = smoothstep((t - (T_CLOSE + 30)) / 40.0)
-        press = obj_pos + jnp.array([0.0, 0.030, -0.018])
-        hold = grasp + s_press * (press - grasp)
+        hover = obj_pos + yaw_off([0.028, 0.075, 0.20])
+        descend = obj_pos + yaw_off([0.028, 0.075, -0.018])
+        grasp = obj_pos + yaw_off([0.028, 0.036, -0.018])
+        # +x bias: the thumb hangs ~3 cm to -x of the finger centroid;
+        # shifting the claw +x centers the THUMB on the object so the
+        # squeeze can't squirt it out diagonally around the thumb.
+        # During the snap the wrist DROPS 2.2 cm: curling fingertips rise,
+        # and without the drop every contact lands above the object's
+        # equator and squirts it out (watermelon-seed failure)
+        snapdrop = smoothstep((t - T_SNAP) / 20.0) * 0.022
+        press = grasp - jnp.array([0.0, 0.0, 1.0]) * 0.022
+        hold = grasp - jnp.array([0.0, 0.0, 1.0]) * snapdrop
         # reach: continuous lerp/slerp from the RESET tip pose to the claw
         # hover — the tip tracks this line instead of a joint-space sweep
         # that can plough through the table
@@ -128,7 +151,9 @@ def make_controller(env, pitch=-1.45):
         tgt_reach = p_reset + s_r * (hover - p_reset)
         q_sched = quat_slerp(q_reset_flange, q_tgt_const, s_r)
         frac_d = smoothstep((t - T_REACH) / (T_DESC - T_REACH))
-        frac_in = smoothstep((t - T_DESC) / (T_CLOSE - T_DESC))
+        # arm holds at `descend` while the thumb wall plants (T_DESC..T_IN),
+        # then moves in quickly for the snap
+        frac_in = smoothstep((t - T_IN) / (T_SNAP - T_IN))
         tgt_dh = jnp.where(
             t < T_REACH,
             tgt_reach,
@@ -136,7 +161,7 @@ def make_controller(env, pitch=-1.45):
                 t < T_DESC,
                 hover + frac_d * (descend - hover),
                 jnp.where(
-                    t < T_CLOSE,
+                    t < T_SNAP,
                     descend + frac_in * (grasp - descend),
                     hold,
                 ),
@@ -154,25 +179,37 @@ def make_controller(env, pitch=-1.45):
         #      the box's near-bottom edge and stays there as a wall
         #   2. fingers then flex + the arm presses the far face, squeezing
         #      the box against the planted thumb
-        # symmetric SNAP cage: with the pocket centered on the sphere,
-        # thumb + fingers curl under the equator together before it can
-        # roll clear; after 40 steps a gentle squeeze holds the cage
-        c_cmd = jnp.where(
-            jnp.logical_and(t >= T_CLOSE, t < T_CLOSE + 40), -0.6, -0.05
+        # choreography: (1) thumb flexes 26 steps while the arm holds at
+        # `descend` — its tip plants at the sphere's near-bottom as a wall;
+        # (2) the arm moves in; (3) fingers SNAP-scoop under the equator
+        # against the planted thumb; gentle squeeze holds through the lift
+        if plant_thumb:
+            thumb_flex = jnp.where(
+                jnp.logical_and(t >= T_DESC, t < T_DESC + 26), -0.25, 0.0
+            ) + jnp.where(t < T_DESC, 1.0, 0.0)
+            # the wall must STAY planted: no further thumb flexion
+            thumb_flex = jnp.where(t >= T_SNAP, 0.0, thumb_flex)
+        else:
+            # a bin wall provides the block; the thumb joins the snap,
+            # closing down onto the object to trap it from above
+            thumb_flex = jnp.where(
+                jnp.logical_and(t >= T_SNAP, t < T_SNAP + 20), -0.3,
+                jnp.where(t < T_SNAP, 1.0, -0.03),
+            )
+        f_cmd = jnp.where(
+            jnp.logical_and(t >= T_SNAP, t < T_SNAP + 20), -0.5, -0.05
         )
-        c_cmd = jnp.where(t < T_CLOSE, 1.0, c_cmd)
-        thumb_flex = c_cmd
-        finger_flex = c_cmd * jnp.ones(3)
+        f_cmd = jnp.where(t < T_SNAP, 1.0, f_cmd)
+        finger_flex = f_cmd * jnp.ones(3)
         servo_a = jnp.concatenate(
             [jnp.array([1.0]), thumb_flex[None], finger_flex]
         )
 
-        # damped GN IK solved on the CONTROL TARGET arm joints but the
-        # MEASURED hand joints: during the close the curling fingers raise
-        # the finger centroid, so the IK automatically lowers the arm to
-        # keep the pads at box height (implicit hybrid position control —
-        # contact stalls the finger joints, which stalls the arm descent).
-        q_hand = q_full[6:]
+        # damped GN IK solved on the CONTROL TARGET arm joints against the
+        # FIXED open-hand model: the arm must hold rock-still through the
+        # snap (an adaptive model chases the curling fingers and drags the
+        # planted thumb wall off its post).
+        q_hand = q_hand_ik
 
         # PD-lag compensation: the measured arm trails the control target
         # by ~0.05 rad while moving (~2-3 cm at the tip), enough to clip
@@ -191,16 +228,22 @@ def make_controller(env, pitch=-1.45):
         )
         return jnp.concatenate([a_arm, servo_a])
 
-    def policy(state, t):
+    def policy(state, t, anchor_xy):
+        """Stateful controller: returns (action, new_anchor). `anchor_xy`
+        [B, 2] tracks the target object's xy until T_IN, then freezes (the
+        close must not chase the object it is about to displace)."""
         tgt_idx = state.task.target_obj
-        # anchor on the EPISODE-INITIAL object position: the waypoint schedule
-        # must not chase the object once it is grasped and moving
-        obj = jnp.take_along_axis(
+        obj0 = jnp.take_along_axis(
             state.task.initial_obj_pos, tgt_idx[:, None, None], axis=1
         )[:, 0]
-        return jax.vmap(lambda q, at, o: policy_single(q, at, o, t))(
-            state.physics.robot.q, state.control.arm_target, obj
+        obj_now = jnp.take_along_axis(
+            state.physics.objects.pos, tgt_idx[:, None, None], axis=1
+        )[:, 0]
+        anchor_new = jnp.where(t < T_IN, obj_now[:, :2], anchor_xy)
+        act = jax.vmap(lambda q, at, o0, an: policy_single(q, at, o0, an, t))(
+            state.physics.robot.q, state.control.arm_target, obj0, anchor_new
         )
+        return act, anchor_new
 
     return policy
 
@@ -220,15 +263,18 @@ def run(num_envs=2, steps=480, verbose=True, record=None, cfg_kwargs=None):
     policy = make_controller(env)
     state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
 
+    anchor = jnp.asarray(state.task.initial_obj_pos[:, 0, :2])
+
     @jax.jit
-    def step(state, t):
-        a = policy(state, t)
-        return env.step(state, a)
+    def step(state, t, anchor):
+        a, anchor = policy(state, t, anchor)
+        st, res = env.step(state, a)
+        return st, res, anchor
 
     frames = []
     trace = []
     for t in range(steps):
-        state, res = step(state, jnp.asarray(t))
+        state, res, anchor = step(state, jnp.asarray(t), anchor)
         if verbose and t % 20 == 0 or t == steps - 1:
             obj_z = np.asarray(state.physics.objects.pos[:, 0, 2])
             tips = None

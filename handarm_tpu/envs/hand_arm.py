@@ -95,6 +95,15 @@ class HandArmConfig:
     object_dataset: tuple = ()  # e.g. (("ycb", ("015_peach", "005_*")),)
     num_objects: int = 0  # objects per env when using a dataset (0 = all)
     table_height: float = 0.5
+    rolling_friction: float = 0.003  # [m] rolling-resistance arm
+    # cuboid bin (reference utils/urdf.py generate_cuboid_bin_urdf +
+    # env/multi_object.py:422-435): 4 wall AABBs centered on the drop area.
+    # The no_bin extent in the reference is +/-0.25 x 0.2 high.
+    use_bin: bool = False
+    bin_center: tuple = ()  # xy; empty = drop_pos
+    bin_half_extent: float = 0.15
+    bin_wall_height: float = 0.10
+    bin_wall_thickness: float = 0.01
     table_lo: tuple = (-0.5, -0.5)
     table_hi: tuple = (0.9, 1.1)
     workspace_lo: tuple = (-0.07, 0.33, 0.0)
@@ -402,11 +411,26 @@ class HandArmEnv:
             self.object_names.append(f"{kind}_{len(self.object_names)}")
         shapes = stack_objects(objs)
         spheres = self.robot.make_spheres(cfg.hand_only_collision)
+        wall_lo, wall_hi = [], []
+        if cfg.use_bin:
+            cx, cy = cfg.bin_center if cfg.bin_center else cfg.drop_pos[:2]
+            e, th = cfg.bin_half_extent, cfg.bin_wall_thickness
+            z0, z1 = cfg.table_height, cfg.table_height + cfg.bin_wall_height
+            walls = [
+                ((cx - e - th, cy - e - th, z0), (cx - e, cy + e + th, z1)),
+                ((cx + e, cy - e - th, z0), (cx + e + th, cy + e + th, z1)),
+                ((cx - e - th, cy - e - th, z0), (cx + e + th, cy - e, z1)),
+                ((cx - e - th, cy + e, z0), (cx + e + th, cy + e + th, z1)),
+            ]
+            wall_lo = [w[0] for w in walls]
+            wall_hi = [w[1] for w in walls]
         geom = StaticGeom(
             table_lo=jnp.asarray(cfg.table_lo, jnp.float32),
             table_hi=jnp.asarray(cfg.table_hi, jnp.float32),
             table_height=jnp.asarray(cfg.table_height, jnp.float32),
             friction=jnp.asarray(1.0, jnp.float32),
+            wall_lo=np.asarray(wall_lo, np.float32).reshape(-1, 3),
+            wall_hi=np.asarray(wall_hi, np.float32).reshape(-1, 3),
         )
         from handarm_tpu.physics.solver import SolverParams
 
@@ -416,7 +440,13 @@ class HandArmEnv:
             base_pos=(0.0, 0.0, cfg.table_height),
             params=SimParams(
                 dt=cfg.dt, substeps=cfg.substeps,
-                solver=SolverParams(iterations=cfg.solver_iterations),
+                solver=SolverParams(
+                    iterations=cfg.solver_iterations,
+                    # single-point contacts need explicit rolling
+                    # resistance (PhysX's patch manifolds give it
+                    # implicitly); without it a tapped sphere never stops
+                    rolling_friction=cfg.rolling_friction,
+                ),
                 # reference disables gravity on the robot asset
                 # (base/ur5sih.py:176, base/stretch.py:148): the 120/20 PD
                 # gains are tuned for a gravity-free arm

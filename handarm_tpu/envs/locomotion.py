@@ -317,7 +317,18 @@ class LocomotionEnv:
         )
         obs = self._obs(mid)
         reward, terminated = self._reward(obs, actions, progress_reward)
-        done = terminated | (progress >= cfg.episode_length)
+        # failure recovery (PhysX-style): a non-finite env state (rare
+        # contact/gyroscopic blowup under extreme flailing) terminates and
+        # auto-resets that env instead of poisoning the batch with NaNs
+        finite = (
+            jnp.all(jnp.isfinite(phys.robot.q), axis=-1)
+            & jnp.all(jnp.isfinite(phys.robot.qd), axis=-1)
+            & jnp.all(jnp.isfinite(phys.robot.base_pos), axis=-1)
+            & jnp.all(jnp.isfinite(phys.robot.base_quat), axis=-1)
+        )
+        done = terminated | (progress >= cfg.episode_length) | ~finite
+        reward = jnp.where(jnp.isfinite(reward), reward, 0.0)
+        obs = jnp.where(jnp.isfinite(obs), obs, 0.0)
 
         # fused auto-reset (key excluded: None subtrees are skipped)
         fresh = self._fresh(k_reset, B)

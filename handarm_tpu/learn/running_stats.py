@@ -26,8 +26,12 @@ def init_stats(shape) -> RunningStats:
 
 
 def update_stats(stats: RunningStats, batch: jnp.ndarray) -> RunningStats:
-    """batch: [N, ...shape] (leading axes are flattened)."""
+    """batch: [N, ...shape] (leading axes are flattened).
+
+    Non-finite samples are replaced by the current mean (zero update): one
+    exploded env must not poison the running statistics forever."""
     x = batch.reshape((-1,) + stats.mean.shape)
+    x = jnp.where(jnp.isfinite(x), x, stats.mean)
     n = x.shape[0]
     b_mean = jnp.mean(x, axis=0)
     b_var = jnp.var(x, axis=0)

@@ -17,12 +17,15 @@ spheres:
                                          (both directions per pair — a point
                                          sampler one way misses small-inside-
                                          large overlaps)
+  (+ with walls)    ... + K*P, ... + S   object points / robot spheres vs the
+                                         nearest wall AABB (bin walls)
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,12 +35,20 @@ from handarm_tpu.physics.shapes import ObjectShapes, object_sdf
 
 class StaticGeom(NamedTuple):
     """Static environment collision: a table box (top face + column test)
-    standing on a ground plane at z = 0."""
+    standing on a ground plane at z = 0, plus optional wall AABBs (bin
+    walls / safety walls — reference builds these as procedural URDF boxes,
+    tasks/hand_arm/utils/urdf.py:1-216 and env/multi_object.py:504-555)."""
 
     table_lo: jnp.ndarray  # [2] xy lower corner
     table_hi: jnp.ndarray  # [2] xy upper corner
     table_height: jnp.ndarray  # scalar
     friction: jnp.ndarray  # scalar
+    wall_lo: np.ndarray = np.zeros((0, 3), np.float32)  # [W, 3] AABB corners
+    wall_hi: np.ndarray = np.zeros((0, 3), np.float32)  # [W, 3]
+
+    @property
+    def num_walls(self) -> int:
+        return int(np.asarray(self.wall_lo).shape[0])
 
 
 class RobotSpheres(NamedTuple):
@@ -73,6 +84,7 @@ def make_contact_slots(
     spheres: RobotSpheres,
     static_friction: float = 1.0,
     obj_pair_points: int = 8,
+    num_walls: int = 0,
 ) -> ContactSlots:
     K = shapes.num_objects
     P = shapes.points_per_object
@@ -111,6 +123,20 @@ def make_contact_slots(
                 obj_a.append(ka)
                 obj_b.append(kb)
                 fric.append(np.sqrt(fr_obj[ka] * fr_obj[kb]))
+    if num_walls > 0:
+        # object points vs nearest wall
+        for k in range(K):
+            for _ in range(P):
+                robot_body.append(-1)
+                obj_a.append(k)
+                obj_b.append(-1)
+                fric.append(np.sqrt(fr_obj[k] * static_friction))
+        # robot spheres vs nearest wall
+        for s in range(S):
+            robot_body.append(int(spheres.body[s]))
+            obj_a.append(-1)
+            obj_b.append(-1)
+            fric.append(np.sqrt(fr_sph[s] * static_friction))
     return ContactSlots(
         robot_body=np.array(robot_body, dtype=np.int32),
         obj_a=np.array(obj_a, dtype=np.int32),
@@ -128,6 +154,41 @@ def _static_surface(geom: StaticGeom, p: jnp.ndarray):
     surf_z = jnp.where(in_col, geom.table_height, 0.0)
     dist = p[..., 2] - surf_z
     n = jnp.zeros_like(p).at[..., 2].set(1.0)
+    return dist, n
+
+
+def _wall_surface(geom: StaticGeom, p: jnp.ndarray):
+    """Signed distance of points to the NEAREST wall AABB with outward
+    normal. p: [..., 3] -> (dist, normal). Requires num_walls > 0.
+
+    Outside: distance/direction to the closest point on the box. Inside:
+    negative minimum push-out with the corresponding face normal."""
+    lo = jnp.asarray(geom.wall_lo, p.dtype)  # [W, 3]
+    hi = jnp.asarray(geom.wall_hi, p.dtype)
+    pe = p[..., None, :]  # [..., W, 3]
+    q = jnp.clip(pe, lo, hi)
+    d_vec = pe - q
+    dist_out = jnp.linalg.norm(d_vec, axis=-1)  # [..., W]
+    outside = dist_out > 1e-9
+    n_out = d_vec / jnp.maximum(dist_out[..., None], 1e-9)
+    # inside: per-axis push-out
+    push_lo = pe - lo  # positive inside
+    push_hi = hi - pe
+    push = jnp.minimum(push_lo, push_hi)  # [..., W, 3]
+    min_push = jnp.min(push, axis=-1)  # [..., W]
+    ax = jnp.argmin(push, axis=-1)  # [..., W]
+    sign = jnp.where(
+        jnp.take_along_axis(push_lo, ax[..., None], axis=-1)
+        <= jnp.take_along_axis(push_hi, ax[..., None], axis=-1),
+        -1.0, 1.0,
+    )  # [..., W, 1]
+    n_in = jax.nn.one_hot(ax, 3, dtype=p.dtype) * sign
+    dist_w = jnp.where(outside, dist_out, -min_push)  # [..., W]
+    n_w = jnp.where(outside[..., None], n_out, n_in)
+    # nearest (deepest) wall wins
+    widx = jnp.argmin(dist_w, axis=-1)  # [...]
+    dist = jnp.take_along_axis(dist_w, widx[..., None], axis=-1)[..., 0]
+    n = jnp.take_along_axis(n_w, widx[..., None, None], axis=-2)[..., 0, :]
     return dist, n
 
 
@@ -210,6 +271,20 @@ def generate_contacts(
             normals.append(n_w)
             poss.append(pts_a_w)
             depths.append(shapes.point_radius[ka, :Q][None] - d_ab)
+
+    if geom.num_walls > 0:
+        # --- object sample points vs nearest wall: [B, K, P]
+        dist_w, n_w = _wall_surface(geom, pts_w)
+        dist_w = jnp.where(shapes.point_mask[None] > 0, dist_w, 1e6)
+        pen_w = shapes.point_radius[None] - dist_w
+        normals.append(n_w.reshape(B, K * P, 3))
+        poss.append((pts_w - n_w * dist_w[..., None]).reshape(B, K * P, 3))
+        depths.append(pen_w.reshape(B, K * P))
+        # --- robot spheres vs nearest wall: [B, S]
+        dist_sw, n_sw = _wall_surface(geom, centers)
+        normals.append(n_sw)
+        poss.append(centers - n_sw * dist_sw[..., None])
+        depths.append(spheres.radius[None] - dist_sw)
 
     return Contacts(
         normal=jnp.concatenate(normals, axis=1),

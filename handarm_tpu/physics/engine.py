@@ -147,7 +147,9 @@ def build_scene(
     dtype=jnp.float32,
 ) -> Scene:
     m = model_arrays(art, dtype)
-    slots = make_contact_slots(shapes, spheres, static_friction=1.0)
+    slots = make_contact_slots(
+        shapes, spheres, static_friction=1.0, num_walls=geom.num_walls
+    )
     C = slots.num_slots
     nb, K = art.nb, shapes.num_objects
     s2b = np.zeros((C, nb), dtype=np.float32)
@@ -288,6 +290,11 @@ def substep(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides(
 
     olv = jnp.clip(out.obj_linvel, -p.max_obj_linvel, p.max_obj_linvel)
     oav = jnp.clip(out.obj_angvel, -p.max_obj_angvel, p.max_obj_angvel)
+    if p.solver.rolling_friction > 0.0 and scene.shapes.num_objects:
+        oav = _rolling_resistance(
+            oav, out.impulse, contacts.normal, scene.slot_to_obj,
+            scene.shapes.inertia_diag, p.solver.rolling_friction,
+        )
     opos_new, oquat_new = free_body_integrate(opos, oquat, olv, oav, h)
 
     # contact force diagnostics from accumulated world-frame impulses
@@ -310,6 +317,28 @@ def substep(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides(
         contact_impulse=out.impulse,
     )
     return new_state, info
+
+
+def _rolling_resistance(
+    oav: jnp.ndarray,  # [B, K, 3]
+    impulse: jnp.ndarray,  # [B, C, 3] world contact impulses
+    normal: jnp.ndarray,  # [B, C, 3]
+    slot_to_obj: jnp.ndarray,  # [C, K] signed incidence
+    inertia_diag: jnp.ndarray,  # [K, 3]
+    mu_roll: float,
+) -> jnp.ndarray:
+    """Isotropic rolling/torsional resistance (PhysX contact-patch analog).
+
+    Each object's angular speed is reduced by at most
+    mu_roll * (total normal impulse) / I_max — contact-supported objects
+    stop rolling/spinning; free flyers are untouched (zero impulse)."""
+    lam_n = jnp.maximum(jnp.einsum("bci,bci->bc", impulse, normal), 0.0)
+    ln_obj = jnp.einsum("bc,ck->bk", lam_n, jnp.abs(slot_to_obj))  # [B, K]
+    inv_imax = 1.0 / jnp.max(inertia_diag, axis=-1)  # [K]
+    cap = mu_roll * ln_obj * inv_imax[None]  # [B, K] max |dω|
+    w_mag = jnp.linalg.norm(oav, axis=-1)
+    scale = jnp.maximum(0.0, 1.0 - cap / jnp.maximum(w_mag, 1e-9))
+    return oav * scale[..., None]
 
 
 def step(
@@ -406,6 +435,11 @@ def step(
         qd_new = jnp.where(above, jnp.minimum(qd_new, 0.0), qd_new)
         olv = jnp.clip(out.obj_linvel, -p.max_obj_linvel, p.max_obj_linvel)
         oav = jnp.clip(out.obj_angvel, -p.max_obj_angvel, p.max_obj_angvel)
+        if p.solver.rolling_friction > 0.0 and scene.shapes.num_objects:
+            oav = _rolling_resistance(
+                oav, out.impulse, contacts.normal, scene.slot_to_obj,
+                scene.shapes.inertia_diag, p.solver.rolling_friction,
+            )
         opos_new, oquat_new = free_body_integrate(opos, oquat, olv, oav, h)
         bq_new, bp_new, screw_new = _propagate_fk(m, bq, bp, screw, qd_new, h)
         return (

@@ -50,6 +50,11 @@ class SolverParams(NamedTuple):
     # restitution_threshold; PhysX bounceThreshold analog)
     restitution_threshold: float = 0.2
     mode: str = "jacobi"  # "jacobi" (vectorized, default) | "gs" (sequential)
+    # rolling resistance coefficient [m]: angular-impulse budget per unit of
+    # normal impulse (PhysX's contact-patch manifold gives an implicit
+    # rolling resistance that a single-point contact lacks — without this a
+    # tapped sphere rolls forever). 0 disables.
+    rolling_friction: float = 0.0
     relaxation: float = 1.0  # jacobi sweep gain (scaled by mass splitting)
     # mass splitting: each slot's impulse step is divided by the number of
     # active slots sharing its most-contended participant — parallel Jacobi
@@ -275,8 +280,11 @@ def _prepare(
         ),
         contacts.depth / h,  # negative: may approach at most gap/h
     )
-    # friction only once actually touching
-    mu = jnp.asarray(slots.friction, dtype)[None] * (contacts.depth > 0.0)
+    # friction applies to every active slot: the cone |f_t| <= mu*lam_n
+    # already zeroes it when no normal impulse flows. Gating on depth > 0
+    # was a bug — a SETTLED object rests at depth ~ 0 and lost all
+    # friction, so resting/marginal contacts slid freely.
+    mu = jnp.asarray(slots.friction, dtype)[None] * jnp.ones_like(contacts.depth)
     if friction_scale is not None:
         mu = mu * friction_scale[:, None]
     group_onehot = jnp.asarray(_group_onehot(slots), dtype)
@@ -324,7 +332,7 @@ def refresh_prep(
         ),
         contacts.depth / h,
     )
-    mu = jnp.asarray(slots.friction, dtype)[None] * (contacts.depth > 0.0)
+    mu = jnp.asarray(slots.friction, dtype)[None] * jnp.ones_like(contacts.depth)
     if friction_scale is not None:
         mu = mu * friction_scale[:, None]
     sides = {}

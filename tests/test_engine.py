@@ -207,3 +207,80 @@ def test_stack_two_boxes(tmp_path):
     z = np.asarray(state.objects.pos[0, :, 2])
     np.testing.assert_allclose(z[0], 0.05, atol=0.01)
     np.testing.assert_allclose(z[1], 0.14, atol=0.015)  # stacked on top
+
+
+def test_rolling_friction_stops_sphere(tmp_path):
+    """A rolling sphere conserves momentum forever without rolling
+    resistance; with it, contact-supported rolling decays to rest
+    (PhysX contact-patch analog, SolverParams.rolling_friction)."""
+    from handarm_tpu.physics.solver import SolverParams
+    objs = [make_sphere_object(0.05, mass=0.2)]
+    finals = {}
+    for mu_roll in (0.0, 0.005):
+        scene = tiny_scene(
+            tmp_path, objs, table_height=0.0,
+            params=SimParams(solver=SolverParams(rolling_friction=mu_roll)),
+        )
+        state = initial_state(
+            scene, B=1, obj_pos0=jnp.asarray([[0.5, 0.0, 0.05]])
+        )
+        # rolling without slipping: v = w x r
+        obj = state.objects._replace(
+            linvel=jnp.asarray([[[0.5, 0.0, 0.0]]]),
+            angvel=jnp.asarray([[[0.0, 10.0, 0.0]]]),
+        )
+        state = state._replace(objects=obj)
+        state = run_steps(scene, state, 180)
+        finals[mu_roll] = (
+            float(jnp.linalg.norm(state.objects.linvel[0, 0])),
+            float(state.objects.pos[0, 0, 0]),
+        )
+    v_free, x_free = finals[0.0]
+    v_roll, x_roll = finals[0.005]
+    assert v_free > 0.25, v_free  # no rolling friction: still rolling
+    assert v_roll < 0.02, v_roll  # with it: stopped
+    assert x_roll < x_free  # and travelled strictly less
+
+
+def test_bin_walls_contain_kicked_sphere(tmp_path):
+    """Wall AABBs (bin) block a fast object; without walls it escapes the
+    region (reference bin assets, env/multi_object.py:422-435)."""
+    objs = [make_sphere_object(0.04, mass=0.2)]
+    p = tmp_path / "tiny2.urdf"
+    p.write_text(TINY_ARM)
+    art = compile_urdf(str(p))
+    spheres = RobotSpheres(
+        body=np.array([0], dtype=np.int32),
+        offset=jnp.asarray([[0.4, 0.0, 0.0]], jnp.float32),
+        radius=jnp.asarray([0.05], jnp.float32),
+        friction=jnp.asarray([1.0], jnp.float32),
+    )
+    wall_lo = np.array(
+        [[0.19, -0.3, 0.0], [0.81, -0.3, 0.0],
+         [0.19, -0.31, 0.0], [0.19, 0.3, 0.0]], np.float32)
+    wall_hi = np.array(
+        [[0.20, 0.3, 0.15], [0.82, 0.3, 0.15],
+         [0.82, -0.3, 0.15], [0.82, 0.31, 0.15]], np.float32)
+    geom = StaticGeom(
+        table_lo=jnp.asarray([-10.0, -10.0]),
+        table_hi=jnp.asarray([10.0, 10.0]),
+        table_height=jnp.asarray(0.0),
+        friction=jnp.asarray(1.0),
+        wall_lo=wall_lo,
+        wall_hi=wall_hi,
+    )
+    shapes = stack_objects(objs)
+    scene = build_scene(
+        art, shapes, spheres, geom,
+        kp=np.full(art.nv, 50.0), kd=np.full(art.nv, 5.0),
+        base_pos=(0.0, 0.0, 1.0),
+        params=SimParams(),
+    )
+    state = initial_state(scene, B=1, obj_pos0=jnp.asarray([[0.5, 0.0, 0.04]]))
+    obj = state.objects._replace(linvel=jnp.asarray([[[-2.0, 0.6, 0.0]]]))
+    state = state._replace(objects=obj)
+    state = run_steps(scene, state, 150)
+    pos = np.asarray(state.objects.pos[0, 0])
+    assert 0.20 < pos[0] < 0.82, pos  # stopped by the -x wall
+    assert -0.31 < pos[1] < 0.31, pos
+    assert pos[2] < 0.1, pos  # still on the floor, not launched

@@ -64,17 +64,19 @@ def test_ant_survives_random_flailing(ant):
 
 
 def test_ant_ppo_learns():
-    """Reward must clearly move above the standing baseline within 40
-    iterations (reference AntPPO.yaml hyperparameters, scaled down)."""
+    """Reward must clearly move above the standing baseline within 70
+    iterations (reference AntPPO.yaml hyperparameters, scaled down; with
+    full resting friction gait discovery takes longer than on the old
+    near-frictionless contacts)."""
     from handarm_tpu.envs.locomotion import make_ant
     from handarm_tpu.learn.ppo import PPO, PPOConfig
 
-    env = make_ant(num_envs=64)
+    env = make_ant(num_envs=256)
     ppo = PPO(
         env,
         PPOConfig(
             horizon=16,
-            minibatch_size=1024,
+            minibatch_size=2048,
             mini_epochs=4,
             hidden=(256, 128, 64),
             kl_threshold=0.008,
@@ -84,11 +86,11 @@ def test_ant_ppo_learns():
     ts = ppo.init(jax.random.PRNGKey(0))
     train = jax.jit(ppo.train_iter)
     rewards = []
-    for _ in range(40):
+    for _ in range(70):
         ts, stats = train(ts)
         rewards.append(float(stats["reward_mean"]))
     first = np.mean(rewards[:3])
-    tail = np.mean(rewards[-5:])
+    tail = np.mean(rewards[-10:])
     assert tail > first + 1.0, (first, tail, rewards[::8])
 
 
