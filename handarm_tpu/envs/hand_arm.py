@@ -164,6 +164,10 @@ class Metrics(NamedTuple):
     per_object_ewma: jnp.ndarray  # [K]
     total_resets: jnp.ndarray  # scalar
     total_successes: jnp.ndarray  # scalar
+    # stricter than the reference's latched criterion: goal condition must
+    # HOLD at episode end (a flung object that peaked above the goal height
+    # mid-episode doesn't count here)
+    end_success_ewma: jnp.ndarray = jnp.zeros(())
 
 
 class EnvState(NamedTuple):
@@ -1079,7 +1083,8 @@ class HandArmEnv:
 
         # 4. success-rate EWMA metrics (device-side)
         metrics = self._update_metrics(
-            state.metrics, done, goal_reached_before, task.target_obj
+            state.metrics, done, goal_reached_before, task.target_obj,
+            goal_reached_now=goal_reached,
         )
 
         # 5. fused auto-reset
@@ -1126,6 +1131,7 @@ class HandArmEnv:
             obs_dict=obs_dict,
             info=dict(
                 success_rate_ewma=metrics.success_ewma,
+                end_success_rate_ewma=metrics.end_success_ewma,
                 per_object_success_ewma=metrics.per_object_ewma,
                 max_penetration=info_last.max_penetration,
                 **reward_terms,
@@ -1240,7 +1246,10 @@ class HandArmEnv:
             terms[f"reward_terms/{term}"] = jnp.mean(r)
         return reward, goal_reached, terms
 
-    def _update_metrics(self, metrics: Metrics, done, goal_reached_before, target_obj):
+    def _update_metrics(
+        self, metrics: Metrics, done, goal_reached_before, target_obj,
+        goal_reached_now=None,
+    ):
         K = self.cfg_num_objects
         B = done.shape[0]
         num_resets = jnp.sum(done)
@@ -1251,6 +1260,14 @@ class HandArmEnv:
             num_resets > 0,
             alpha * cur + (1 - alpha) * metrics.success_ewma,
             metrics.success_ewma,
+        )
+        if goal_reached_now is None:
+            goal_reached_now = goal_reached_before
+        end_cur = jnp.sum(done & goal_reached_now) / jnp.maximum(num_resets, 1)
+        end_ewma = jnp.where(
+            num_resets > 0,
+            alpha * end_cur + (1 - alpha) * metrics.end_success_ewma,
+            metrics.end_success_ewma,
         )
         onehot = jax.nn.one_hot(target_obj, K)
         resets_k = jnp.sum(onehot * done[:, None], axis=0)
@@ -1267,6 +1284,7 @@ class HandArmEnv:
             per_object_ewma=ewma_k,
             total_resets=metrics.total_resets + num_resets,
             total_successes=metrics.total_successes + num_succ,
+            end_success_ewma=end_ewma,
         )
 
 
