@@ -354,3 +354,328 @@ class AllegroHandEnv:
 
 def make_allegro(num_envs=256, **kw) -> AllegroHandEnv:
     return AllegroHandEnv(DexHandConfig(num_envs=num_envs, **kw))
+
+
+# ---------------------------------------------------------------------------
+# ShadowHand (reference tasks/shadow_hand.py + cfg/task/ShadowHand.yaml)
+
+SHADOW_MJCF = "/root/reference/assets/mjcf/open_ai_assets/hand/shadow_hand.xml"
+
+_SHADOW_ACTUATED = [
+    "robot0:WRJ1", "robot0:WRJ0",
+    "robot0:FFJ3", "robot0:FFJ2", "robot0:FFJ1",
+    "robot0:MFJ3", "robot0:MFJ2", "robot0:MFJ1",
+    "robot0:RFJ3", "robot0:RFJ2", "robot0:RFJ1",
+    "robot0:LFJ4", "robot0:LFJ3", "robot0:LFJ2", "robot0:LFJ1",
+    "robot0:THJ4", "robot0:THJ3", "robot0:THJ2", "robot0:THJ1", "robot0:THJ0",
+]
+# distal J0 joints couple to their J1 neighbour through the mjcf fixed
+# tendon (shared.xml T_FFJ1c etc.); IsaacGym drives them via the tendon,
+# here they mimic the J1 position target
+_SHADOW_COUPLED = {
+    "robot0:FFJ0": "robot0:FFJ1",
+    "robot0:MFJ0": "robot0:MFJ1",
+    "robot0:RFJ0": "robot0:RFJ1",
+    "robot0:LFJ0": "robot0:LFJ1",
+}
+_SHADOW_EFFORT = {
+    "robot0:WRJ1": 4.785, "robot0:WRJ0": 2.175,
+    "robot0:THJ4": 2.3722, "robot0:THJ3": 1.45,
+    "robot0:THJ2": 0.99, "robot0:THJ1": 0.99, "robot0:THJ0": 0.81,
+}
+
+_SHADOW_FINGERTIPS = [
+    "robot0:ffdistal", "robot0:mfdistal", "robot0:rfdistal",
+    "robot0:lfdistal", "robot0:thdistal",
+]
+
+
+@dataclass(frozen=True)
+class ShadowHandConfig(DexHandConfig):
+    episode_length: int = 600
+    control_freq_inv: int = 1  # 60 Hz (ShadowHand.yaml)
+    start_object_dy: float = -0.39
+    start_object_dz: float = 0.10
+
+
+class ShadowHandEnv:
+    """24-dof ShadowHand block reorientation (tasks/shadow_hand.py)."""
+
+    def __init__(self, cfg: ShadowHandConfig = ShadowHandConfig()):
+        from handarm_tpu.math.quat import quat_from_matrix
+        from handarm_tpu.physics.model import compile_mjcf
+        from handarm_tpu.physics.urdf import rpy_to_matrix
+
+        self.cfg = cfg
+        art, extras = compile_mjcf(SHADOW_MJCF)
+        self.art = art
+        nv = art.nv  # 24
+
+        # IsaacGym drops the asset root body's worldbody transform (the
+        # mjcf mount carries pos/euler); cancel it so the hand sits at
+        # (0, 0, 0.5) with identity rotation like shadow_hand.py:305-307
+        R_mount = rpy_to_matrix(np.array([1.5708, 0.0, 3.14159]))
+        p_mount = np.array([1.0, 1.25, 0.15])
+        R_scene = R_mount.T
+        p_scene = np.array([0.0, 0.0, 0.5]) - R_scene @ p_mount
+        base_quat = np.asarray(quat_from_matrix(jnp.asarray(R_scene)))
+
+        # block: 5 cm cube at density 567 (urdf/objects/cube_multicolor.urdf)
+        half = 0.025
+        cube = make_box_object([half] * 3, mass=567.0 * (2 * half) ** 3)
+        shapes = stack_objects([cube])
+
+        # collision spheres from the mjcf geom proxies (contype>0 only)
+        from handarm_tpu.math.quat import quat_to_matrix as _q2m
+        from handarm_tpu.physics.contacts import RobotSpheres
+
+        bodies, offs, rads, mus = [], [], [], []
+        for bname, sph in extras.link_spheres.items():
+            site = art.sites[bname]
+            if site.body < 0:
+                continue
+            Rl = np.asarray(_q2m(jnp.asarray(site.quat)))
+            mu = float(extras.geom_friction.get(bname, 1.0))
+            for pos, r in sph:
+                bodies.append(site.body)
+                offs.append(Rl @ np.asarray(pos) + site.pos)
+                rads.append(r)
+                mus.append(mu)
+        spheres = RobotSpheres(
+            body=np.asarray(bodies, np.int32),
+            offset=jnp.asarray(np.asarray(offs), jnp.float32),
+            radius=jnp.asarray(np.asarray(rads), jnp.float32),
+            friction=jnp.asarray(np.asarray(mus), jnp.float32),
+        )
+
+        geom = StaticGeom(
+            table_lo=jnp.asarray([-10.0, -10.0]),
+            table_hi=jnp.asarray([10.0, 10.0]),
+            table_height=jnp.asarray(0.0),
+            friction=jnp.asarray(1.0),
+        )
+        # PD gains from the mjcf position actuators (kp 5 wrists / 1
+        # fingers, shared.xml:250-270), damping from the joint defaults
+        names = art.joint_names
+        kp = np.array([5.0 if "WRJ" in n else 1.0 for n in names])
+        kd = np.array([0.5 if "WRJ" in n else 0.1 for n in names])
+        effort = np.array(
+            [
+                _SHADOW_EFFORT.get(
+                    n, 0.7245 if (n[-1] in "01" and "THJ" not in n) else 0.9
+                )
+                for n in names
+            ],
+            np.float32,
+        )
+        self.scene = build_scene(
+            art, shapes, spheres, geom,
+            kp=kp, kd=kd,
+            base_pos=tuple(p_scene),
+            base_quat=tuple(base_quat),
+            params=SimParams(
+                dt=1.0 / 60.0, substeps=2,
+                solver=SolverParams(iterations=8, rolling_friction=0.002),
+                robot_gravity=False,
+            ),
+        )
+        self.scene = self.scene._replace(
+            model=self.scene.model._replace(effort_limit=effort)
+        )
+        self.goal_pos_const = jnp.asarray(
+            [0.0 - 0.2, cfg.start_object_dy - 0.06,
+             0.5 + cfg.start_object_dz + 0.08],
+            jnp.float32,
+        )
+
+        self.q_lo = jnp.asarray(art.q_min, jnp.float32)
+        self.q_hi = jnp.asarray(art.q_max, jnp.float32)
+        self.q_default = jnp.clip(jnp.zeros(nv), self.q_lo, self.q_hi)
+        self.obj_start = jnp.asarray(
+            [0.0, cfg.start_object_dy, 0.5 + cfg.start_object_dz], jnp.float32
+        )
+
+        name_to_idx = {n: i for i, n in enumerate(names)}
+        self.actuated_idx = np.array(
+            [name_to_idx[n] for n in _SHADOW_ACTUATED], np.int32
+        )
+        self.coupled_idx = np.array(
+            [[name_to_idx[a], name_to_idx[b]] for a, b in _SHADOW_COUPLED.items()],
+            np.int32,
+        )
+        self.fingertip_bodies = np.array(
+            [art.sites[n].body for n in _SHADOW_FINGERTIPS], np.int32
+        )
+
+        self.num_actions = len(_SHADOW_ACTUATED)  # 20
+        self.num_obs = 211  # full_state (shadow_hand.py:462-520)
+        self.num_teacher_obs = 0
+        self.obs_slices = {"obs": (0, self.num_obs)}
+
+    _scale = AllegroHandEnv._scale
+    _unscale = AllegroHandEnv._unscale
+    _fresh_physics = AllegroHandEnv._fresh_physics
+    _fresh = AllegroHandEnv._fresh
+    reset = AllegroHandEnv.reset
+
+    def _targets_from_actions(self, a, prev):
+        cfg = self.cfg
+        nv = self.art.nv
+        lo = self.q_lo[self.actuated_idx]
+        hi = self.q_hi[self.actuated_idx]
+        t_act = lo + (a + 1.0) * 0.5 * (hi - lo)
+        targets = prev.at[:, self.actuated_idx].set(
+            cfg.act_moving_average * t_act
+            + (1.0 - cfg.act_moving_average) * prev[:, self.actuated_idx]
+        )
+        # tendon-coupled distal joints mimic their J1 neighbour
+        targets = targets.at[:, self.coupled_idx[:, 0]].set(
+            targets[:, self.coupled_idx[:, 1]]
+        )
+        return jnp.clip(targets, self.q_lo, self.q_hi)
+
+    def _obs(self, s: DexState, info=None, fingertips=None):
+        cfg = self.cfg
+        rob, obj = s.physics.robot, s.physics.objects
+        q, qd = rob.q, rob.qd
+        B = q.shape[0]
+        opos, oquat = obj.pos[:, 0], obj.quat[:, 0]
+        olin, oang = obj.linvel[:, 0], obj.angvel[:, 0]
+        goal = jnp.broadcast_to(self.goal_pos_const[None], opos.shape)
+        quat_diff = quat_mul(oquat, quat_conj(s.goal_quat))
+        tau = jnp.clip(
+            self.scene.kp[None] * (s.targets - q) - self.scene.kd[None] * qd,
+            -jnp.asarray(self.scene.model.effort_limit)[None],
+            jnp.asarray(self.scene.model.effort_limit)[None],
+        )
+        ft_state, ft_force = self._fingertip_state(s, info)
+        act_padded = jnp.zeros((B, 20)) if s.actions.shape[-1] != 20 else s.actions
+        parts = [
+            self._unscale(q),                      # 24
+            cfg.vel_obs_scale * qd,                # 24
+            cfg.force_obs_scale * tau,             # 24
+            jnp.concatenate([opos, oquat], -1),    # 7
+            olin,                                  # 3
+            cfg.vel_obs_scale * oang,              # 3
+            jnp.concatenate([goal, s.goal_quat], -1),  # 7
+            quat_diff,                             # 4
+            ft_state.reshape(B, -1),               # 65
+            ft_force.reshape(B, -1),               # 30
+            act_padded,                            # 20
+        ]
+        return jnp.clip(jnp.concatenate(parts, -1), -5.0, 5.0)
+
+    def _fingertip_state(self, s: DexState, info):
+        """[B, 5, 13] pos/quat/linvel/angvel + [B, 5, 6] force-torque
+        (force from accumulated contact impulses; torque ~ 0)."""
+        from handarm_tpu.physics.kinematics import (
+            body_velocities,
+            forward_kinematics,
+        )
+
+        m = self.scene.model
+        rob = s.physics.robot
+        B = rob.q.shape[0]
+        fk = forward_kinematics(
+            m, rob.q, self.scene.base_quat[None], self.scene.base_pos[None]
+        )
+        bv = body_velocities(m, fk, rob.qd)  # [B, nb, 6] (ang, lin at origin)
+        fb = self.fingertip_bodies
+        pos = fk.body_pos[:, fb]
+        quat = fk.body_quat[:, fb]
+        w = bv[:, fb, :3]
+        v = bv[:, fb, 3:] + jnp.cross(w, pos)
+        state13 = jnp.concatenate(
+            [pos, quat, v, self.cfg.vel_obs_scale * w], axis=-1
+        )
+        if info is not None:
+            force = info.body_contact_force[:, fb]
+        else:
+            force = jnp.zeros((B, 5, 3))
+        ft = jnp.concatenate([force, jnp.zeros_like(force)], axis=-1)
+        return state13, self.cfg.force_obs_scale * ft
+
+    def step(self, state: DexState, actions):
+        cfg = self.cfg
+        B = actions.shape[0]
+        actions = jnp.clip(actions, -1.0, 1.0)
+        key, k_goal, k_reset = jax.random.split(state.key, 3)
+
+        targets = self._targets_from_actions(actions, state.targets)
+        phys = state.physics._replace(
+            robot=state.physics.robot._replace(targets=targets)
+        )
+        info = None
+        for _ in range(cfg.control_freq_inv):
+            phys, info = engine_step(self.scene, phys)
+
+        opos, oquat = phys.objects.pos[:, 0], phys.objects.quat[:, 0]
+        progress = state.progress + 1
+
+        goal_dist = jnp.linalg.norm(opos - self.goal_pos_const[None], axis=-1)
+        quat_diff = quat_mul(oquat, quat_conj(state.goal_quat))
+        rot_dist = 2.0 * jnp.arcsin(
+            jnp.clip(jnp.linalg.norm(quat_diff[:, 1:4], axis=-1), 0.0, 1.0)
+        )
+        reward = (
+            goal_dist * cfg.dist_reward_scale
+            + cfg.rot_reward_scale / (jnp.abs(rot_dist) + cfg.rot_eps)
+            + cfg.action_penalty_scale * jnp.sum(actions**2, axis=-1)
+        )
+        goal_hit = jnp.abs(rot_dist) <= cfg.success_tolerance
+        reward = jnp.where(goal_hit, reward + cfg.reach_goal_bonus, reward)
+        fell = goal_dist >= cfg.fall_dist
+        reward = jnp.where(fell, reward + cfg.fall_penalty, reward)
+
+        successes = state.successes + goal_hit
+        finite = (
+            jnp.all(jnp.isfinite(phys.robot.q), axis=-1)
+            & jnp.all(jnp.isfinite(opos), axis=-1)
+        )
+        done = fell | (progress >= cfg.episode_length) | ~finite
+        reward = jnp.where(jnp.isfinite(reward), reward, 0.0)
+
+        num_resets = jnp.sum(done)
+        fin = jnp.sum(jnp.where(done, successes, 0.0))
+        cons = jnp.where(
+            num_resets > 0,
+            cfg.av_factor * fin / jnp.maximum(num_resets, 1)
+            + (1.0 - cfg.av_factor) * state.cons_successes,
+            state.cons_successes,
+        )
+
+        new_goal = _rand_quat(k_goal, B)
+        goal_quat = jnp.where(goal_hit[:, None], new_goal, state.goal_quat)
+
+        mid = DexState(
+            physics=phys, targets=targets, progress=progress,
+            goal_quat=goal_quat, actions=actions, successes=successes,
+            cons_successes=cons, key=key,
+        )
+        fresh = self._fresh(k_reset, B)
+        new_state = jax.tree_util.tree_map(
+            lambda f, c: (
+                jnp.where(done.reshape((B,) + (1,) * (c.ndim - 1)), f, c)
+                if c.ndim and c.shape[0] == B
+                else c
+            ),
+            fresh._replace(key=None, cons_successes=None),
+            mid._replace(key=None, cons_successes=None),
+        )._replace(key=key, cons_successes=cons)
+        obs = self._obs(new_state, info)
+        obs = jnp.where(jnp.isfinite(obs), obs, 0.0)
+        return new_state, DexStepResult(
+            obs=obs,
+            reward=reward,
+            done=done,
+            info={
+                "consecutive_successes": cons,
+                "rot_dist_mean": jnp.mean(rot_dist),
+                "goal_hits": jnp.sum(goal_hit),
+            },
+            teacher_obs=jnp.zeros((B, 0), obs.dtype),
+        )
+
+
+def make_shadow(num_envs=256, **kw) -> ShadowHandEnv:
+    return ShadowHandEnv(ShadowHandConfig(num_envs=num_envs, **kw))

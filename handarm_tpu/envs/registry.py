@@ -246,6 +246,25 @@ register_classic(
 )
 
 
+def _shadow_factory(num_envs, episode_length):
+    from handarm_tpu.envs.dexhand import make_shadow
+
+    return make_shadow(
+        num_envs=num_envs,
+        episode_length=episode_length if episode_length != 500 else 600,
+    )
+
+
+# reference cfg/train/ShadowHandPPO.yaml: units [512,512,256,128], horizon 8,
+# minibatch 32768, gamma 0.99, adaptive kl 0.016
+register_classic(
+    "ShadowHand",
+    _shadow_factory,
+    dict(hidden=(512, 512, 256, 128), horizon=8, minibatch_size=32768,
+         gamma=0.99, kl_threshold=0.016, reward_scale=0.01),
+)
+
+
 def make_env(name: str, overrides: list[str] | None = None):
     if name in CLASSIC_TASKS:
         factory, ppo_overrides = CLASSIC_TASKS[name]

@@ -222,9 +222,29 @@ def _geom_spheres(g: dict, rot: np.ndarray, pos: np.ndarray):
     return []
 
 
+def _expand_includes(el: ET.Element, base_dir: str):
+    """Inline <include file=.../> elements recursively (MuJoCo include
+    semantics: the included file's root children are spliced in place —
+    the OpenAI shadow-hand assets are structured this way)."""
+    i = 0
+    while i < len(el):
+        child = el[i]
+        if child.tag == "include":
+            inc_path = os.path.join(base_dir, child.get("file"))
+            inc_root = ET.parse(inc_path).getroot()
+            _expand_includes(inc_root, os.path.dirname(inc_path))
+            el.remove(child)
+            for j, sub in enumerate(list(inc_root)):
+                el.insert(i + j, sub)
+        else:
+            _expand_includes(child, base_dir)
+            i += 1
+
+
 def parse_mjcf(path: str) -> tuple[UrdfModel, MjcfExtras]:
     tree = ET.parse(path)
     root = tree.getroot()
+    _expand_includes(root, os.path.dirname(os.path.abspath(path)))
     name = root.get("model", os.path.basename(path))
 
     compiler = root.find("compiler")
@@ -359,6 +379,8 @@ def parse_mjcf(path: str) -> tuple[UrdfModel, MjcfExtras]:
                 fm += m * com_s
                 c = com_s
                 I_org += I_com + m * ((c @ c) * np.eye(3) - np.outer(c, c))
+            if g.get("contype", "1") == "0":
+                continue  # visual-only geom: no collision proxy
             for sp, sr in _geom_spheres(g, grot, gpos):
                 sph.append((sp + shift, sr))
             if geom is not None:
@@ -374,6 +396,25 @@ def parse_mjcf(path: str) -> tuple[UrdfModel, MjcfExtras]:
             lk.inertia = I_org - mass_tot * (
                 (c @ c) * np.eye(3) - np.outer(c, c)
             )
+        inert = el.find("inertial")
+        if inert is not None:
+            # explicit <inertial> overrides geom-derived mass properties
+            # (the shadow-hand assets specify these per body)
+            lk.mass = float(inert.get("mass", 0.0))
+            lk.com = _floats(inert.get("pos"), (0, 0, 0)) + shift
+            Ri = _frame_rot(inert, deg)
+            if inert.get("diaginertia") is not None:
+                Id = np.diag(_floats(inert.get("diaginertia")))
+            elif inert.get("fullinertia") is not None:
+                fi = _floats(inert.get("fullinertia"))
+                Id = np.array([
+                    [fi[0], fi[3], fi[4]],
+                    [fi[3], fi[1], fi[5]],
+                    [fi[4], fi[5], fi[2]],
+                ])
+            else:
+                Id = np.eye(3) * 1e-5
+            lk.inertia = Ri @ Id @ Ri.T
         if sph:
             extras.link_spheres[bname] = sph
         if mu is not None:
