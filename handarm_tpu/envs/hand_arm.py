@@ -557,6 +557,23 @@ class HandArmEnv:
                 ctx.env.scene.shapes.mass[None], (ctx.batch, K)
             ),
         )
+        # static mass properties (reference env/multi_object.py:907-925:
+        # object_com / object_inertia acquired post-init from gym props).
+        # Object body frames here are COM-centered by construction, so the
+        # local COM offset is identically zero.
+        reg.observables["object_com"] = _mk_obs(
+            "object_com", 3 * K,
+            lambda ctx: jnp.zeros((ctx.batch, 3 * K)),
+        )
+        reg.observables["object_inertia"] = _mk_obs(
+            "object_inertia", 9 * K,
+            lambda ctx: jnp.broadcast_to(
+                jax.vmap(jnp.diag)(
+                    ctx.env.scene.shapes.inertia_diag
+                ).reshape(-1)[None],
+                (ctx.batch, 9 * K),
+            ),
+        )
 
         def _obb_world(pos, quat, shapes, idx=None):
             """World pose of the TRUE oriented bounding box: the body pose
@@ -706,6 +723,26 @@ class HandArmEnv:
         reg.observables["target_object_synthetic_pointcloud"] = _mk_obs(
             "target_object_synthetic_pointcloud", P_out * 4, obs_target_cloud,
             key="target_object_synthetic_pointcloud",
+        )
+
+        # InvervalSample-transformed variants (reference multi_object.py:
+        # 310-330 registers interval=4 corrupters for intermittent sensing)
+        reg.observables["target_object_interval_pos"] = _mk_obs(
+            "target_object_interval_pos", 3,
+            lambda ctx: pc.interval_sample(
+                ctx.target_object_pos, ctx.state.task.progress, 4
+            ),
+        )
+
+        def obs_target_cloud_interval(ctx):
+            return pc.interval_sample(
+                obs_target_cloud(ctx), ctx.state.task.progress, 4
+            )
+
+        reg.observables["target_object_synthetic_interval_pointcloud"] = _mk_obs(
+            "target_object_synthetic_interval_pointcloud", P_out * 4,
+            obs_target_cloud_interval,
+            key="target_object_synthetic_interval_pointcloud",
         )
 
         def obs_robot_cloud(ctx):

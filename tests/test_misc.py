@@ -157,3 +157,42 @@ def test_sih_servo_spline_calibration():
     )
     # the (calibrated-range) fingers open to near zero
     assert np.abs(open_out[0, 3:]).max() < 0.2
+
+
+def test_mass_and_interval_observables():
+    """object_com / object_inertia (reference multi_object.py:907-925) and
+    the InvervalSample variants (:310-330)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from handarm_tpu.envs.hand_arm import HandArmConfig, HandArmEnv
+
+    cfg = HandArmConfig(
+        num_envs=2,
+        observations=(
+            "object_com", "object_inertia", "object_mass",
+            "target_object_interval_pos", "target_object_pos",
+        ),
+        episode_length=50,
+    )
+    env = HandArmEnv(cfg)
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    lo, hi = env.obs_slices["object_inertia"]
+    inert = np.asarray(obs[0, lo:hi]).reshape(3, 3)
+    # diagonal inertia of the default box, positive on the diagonal
+    assert (np.diag(inert) > 0).all()
+    assert abs(inert[0, 1]) < 1e-9
+    # interval pos matches target pos every 4th step and blanks otherwise
+    ilo, ihi = env.obs_slices["target_object_interval_pos"]
+    plo, phi = env.obs_slices["target_object_pos"]
+    seen_blank = seen_live = False
+    for t in range(8):
+        state, res = step(state, jnp.zeros((2, env.num_actions)))
+        iv = np.asarray(res.obs[0, ilo:ihi])
+        pv = np.asarray(res.obs[0, plo:phi])
+        if np.allclose(iv, 0.0, atol=1e-6):
+            seen_blank = True
+        elif np.allclose(iv, pv, atol=1e-5):
+            seen_live = True
+    assert seen_blank and seen_live
