@@ -196,3 +196,31 @@ def test_mass_and_interval_observables():
         elif np.allclose(iv, pv, atol=1e-5):
             seen_live = True
     assert seen_blank and seen_live
+
+
+def test_wandb_sink_degrades_gracefully():
+    """Without the wandb package the sink is a no-op and MetricsLogger
+    still works end-to-end (reference wandb_utils.py WandbAlgoObserver)."""
+    import tempfile
+    from handarm_tpu.utils.logging import MetricsLogger, WandbSink, retry
+
+    sink = WandbSink("proj", "exp")
+    assert not sink.active
+    sink.log(0, {"a": 1.0})
+    sink.close()
+
+    calls = []
+
+    @retry(3, exceptions=(ValueError,))
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise ValueError
+        return 42
+
+    assert flaky() == 42 and len(calls) == 3
+
+    with tempfile.TemporaryDirectory() as d:
+        lg = MetricsLogger(d, use_tensorboard=False, wandb_project="p")
+        lg.log(0, {"x": 1.0})
+        lg.close()

@@ -24,6 +24,7 @@ def main(argv):
     overrides = [a for a in argv if "=" in a]
     kv = dict(o.split("=", 1) for o in overrides)
     task = kv.pop("task", "Ur5SihLift")
+    wandb_project = kv.pop("wandb_project", None)
     platform = kv.pop("platform", None)
     max_iterations = int(kv.pop("max_iterations", 1000))
     seed = int(kv.pop("seed", 42))
@@ -51,7 +52,9 @@ def main(argv):
 
     run_dir = os.path.join("runs", exp_name)
     os.makedirs(run_dir, exist_ok=True)
-    logger = MetricsLogger(run_dir)
+    logger = MetricsLogger(
+        run_dir, wandb_project=wandb_project, experiment=exp_name
+    )
 
     key = jax.random.PRNGKey(seed)
     ts = ppo.init(key)
