@@ -174,3 +174,56 @@ def pbt_step(
         return train_state, hparams, False
     new_hparams = mutate(dict(donor["hparams"]), cfg, rng)
     return new_state, new_hparams, True
+
+
+def maybe_save_best_policy(
+    cfg: PbtConfig,
+    train_state,
+    objective: float,
+    frames: int,
+    keep: int = 6,
+) -> bool:
+    """Population-wide best-policy archive (reference pbt.py:564-610
+    _maybe_save_best_policy): copy this policy's weights into
+    <workspace>/best/ iff its objective beats every archived one; keep the
+    `keep` most recent archive entries. Returns True if archived."""
+    d = os.path.join(cfg.workspace, "best")
+    os.makedirs(d, exist_ok=True)
+    best_so_far = -float("inf")
+    metas = sorted(f for f in os.listdir(d) if f.endswith(".json"))
+    for f in metas:
+        try:
+            with open(os.path.join(d, f)) as fh:
+                best_so_far = max(best_so_far, float(json.load(fh)["objective"]))
+        except Exception:
+            continue
+    if objective <= best_so_far:
+        return False
+    name = (
+        f"best_obj_{objective:015.5f}_policy{cfg.policy_idx:03d}"
+        f"_frame{int(frames):012d}"
+    )
+    path = save_checkpoint(d, train_state, step=int(frames), name=name)
+    with open(os.path.join(d, name + ".json"), "w") as fh:
+        json.dump(
+            dict(
+                objective=float(objective),
+                frames=int(frames),
+                policy_idx=cfg.policy_idx,
+                checkpoint=os.path.basename(path),
+            ),
+            fh,
+        )
+    # prune: keep only the `keep` newest archive entries
+    entries = sorted(
+        (f for f in os.listdir(d) if f.endswith(".json")), reverse=True
+    )
+    for f in entries[keep:]:
+        stem = f[: -len(".json")]
+        for g in os.listdir(d):
+            if g.startswith(stem):
+                try:
+                    os.remove(os.path.join(d, g))
+                except OSError:
+                    pass
+    return True

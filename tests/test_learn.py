@@ -169,3 +169,27 @@ def test_hrl_wrapper_trains_high_level(tiny_env):
     assert any(
         not np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a0, a1)
     )
+
+
+def test_pbt_launcher_and_best_archive(tmp_path):
+    """Process launcher + grid (reference pbt/launcher/run_processes.py)
+    and the best-policy archive (pbt.py:564-610)."""
+    import sys
+    from handarm_tpu.parallel.launch_pbt import experiment_grid, run_processes
+    from handarm_tpu.parallel.pbt import PbtConfig, maybe_save_best_policy
+
+    cmds = experiment_grid([sys.executable, "-c", "pass"], {"seed": [1, 2], "lr": [0.1]})
+    assert len(cmds) == 2 and cmds[0][-2:] == ["seed=1", "lr=0.1"]
+    codes = run_processes(cmds, max_parallel=2, poll_s=0.05)
+    assert codes == [0, 0]
+
+    import jax.numpy as jnp
+
+    cfg = PbtConfig(workspace=str(tmp_path), policy_idx=1)
+    ts = {"w": jnp.arange(4.0)}
+    assert maybe_save_best_policy(cfg, ts, objective=0.5, frames=100)
+    assert not maybe_save_best_policy(cfg, ts, objective=0.4, frames=200)
+    assert maybe_save_best_policy(cfg, ts, objective=0.9, frames=300)
+    best_dir = tmp_path / "best"
+    metas = [f for f in best_dir.iterdir() if f.suffix == ".json"]
+    assert len(metas) == 2  # 0.5 and 0.9 archived, 0.4 rejected
