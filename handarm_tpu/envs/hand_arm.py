@@ -30,6 +30,7 @@ from handarm_tpu.math.quat import (
     quat_rotate,
     quat_rotate_inv,
 )
+from handarm_tpu.envs.adr import AdrConfig, AdrState, adr_step, init_adr_state
 from handarm_tpu.envs.randomization import (
     DRConfig,
     DRState,
@@ -126,6 +127,9 @@ class HandArmConfig:
     disturbance_probability: float = 0.2
     disturbance_magnitude: float = 15.0
     dr: DRConfig = field(default_factory=DRConfig)
+    # DeXtreme-style adaptive DR (envs/adr.py); overrides the static DR
+    # scales with per-env values drawn from ADAPTIVE ranges when enabled
+    adr: AdrConfig = field(default_factory=AdrConfig)
     clip_observations: float = 100.0
     clip_actions: float = 1.0
     # synthetic pointclouds (reference Ur5SihMultiObject.yaml pointclouds)
@@ -153,6 +157,7 @@ class TaskState(NamedTuple):
     key: jnp.ndarray  # PRNG key (uint32[2] or typed key), shared across batch
     total_steps: jnp.ndarray | None = None  # global step count (DR schedule)
     dr: DRState | None = None  # per-env frozen randomizations
+    adr: AdrState | None = None  # adaptive-DR ranges/workers (envs/adr.py)
 
 
 class Metrics(NamedTuple):
@@ -966,6 +971,11 @@ class HandArmEnv:
             if self.cfg.dr.enabled
             else None
         )
+        adr_state = (
+            init_adr_state(self.cfg.adr, jax.random.fold_in(key, 11), B)
+            if self.cfg.adr.enabled
+            else None
+        )
         if self.cfg.goal in ("oriented_reposition", "repose"):
             # random hand-orientation goal from two uniform x/y rotations
             # (reference _get_random_quat, multi_object_manipulation.py:185-190)
@@ -994,6 +1004,7 @@ class HandArmEnv:
             key=knext,
             total_steps=jnp.zeros((), jnp.int32),
             dr=dr_state,
+            adr=adr_state,
         )
         metrics = Metrics(
             success_ewma=jnp.zeros(()),
@@ -1095,6 +1106,20 @@ class HandArmEnv:
                 mass_scale=drs.mass_scale,
                 friction_scale=drs.friction_scale,
             )
+        if cfg.adr.enabled:
+            # ADR values override the static DR scales (canonical order:
+            # mass_scale, friction_scale, gain_scale, gravity_z)
+            v = state.task.adr.values
+            K_ = self.cfg_num_objects
+            ovr = EnvOverrides(
+                gain_scale=jnp.broadcast_to(
+                    v[:, 2:3], (B, self.art.nv)
+                ),
+                gravity=jnp.broadcast_to(self.scene.gravity, (B, 3))
+                .at[:, 2].add(v[:, 3]),
+                mass_scale=jnp.broadcast_to(v[:, 0:1], (B, K_)),
+                friction_scale=v[:, 1],
+            )
 
         def body(s, _):
             return physics_step(self.scene, s, ovr)
@@ -1135,6 +1160,19 @@ class HandArmEnv:
         merged = merged._replace(
             metrics=metrics, task=merged.task._replace(key=key)
         )
+        if cfg.adr.enabled:
+            # ADR transition is computed on the PRE-reset episode outcomes
+            # and replaces the merged state's adr wholesale (its range/queue
+            # fields are global, not per-env — the where-merge above must
+            # not touch them)
+            key, k_adr = jax.random.split(key)
+            adr_new = adr_step(
+                cfg.adr, state.task.adr, done,
+                goal_reached_before.astype(jnp.float32), k_adr,
+            )
+            merged = merged._replace(
+                task=merged.task._replace(adr=adr_new, key=key)
+            )
 
         # 6. observations on the post-reset state
         key, k_obs = jax.random.split(key)
