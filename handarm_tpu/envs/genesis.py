@@ -29,15 +29,11 @@ class InitialPool(NamedTuple):
     quat: jnp.ndarray
 
 
-def _drop_once(env, key, drop_steps: int, settle_steps: int):
-    """Drop all objects from staggered randomized poses and settle.
-
-    Returns settled (pos [B, K, 3], quat [B, K, 4])."""
+def _sample_drop_poses(env, key):
     cfg = env.cfg
     B = cfg.num_envs
     K = env.cfg_num_objects
     k_pos, k_yaw = jax.random.split(key)
-
     drop = jnp.asarray(cfg.drop_pos, jnp.float32)
     noise = jax.random.uniform(k_pos, (B, K, 3), minval=-1.0, maxval=1.0) * jnp.asarray(
         cfg.drop_noise, jnp.float32
@@ -51,6 +47,36 @@ def _drop_once(env, key, drop_steps: int, settle_steps: int):
     yaw = jax.random.uniform(k_yaw, (B, K), minval=-np.pi, maxval=np.pi)
     axis = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (B, K, 3))
     quat = quat_from_axis_angle(axis, yaw)
+    return pos, quat
+
+
+def objects_in_bin(env, pos: jnp.ndarray) -> jnp.ndarray:
+    """AABB containment test against the bin extent (reference
+    env/multi_object.py:705-719; the no_bin default extent is +/-0.25
+    around the bin center, table..+0.2 high, :422-423)."""
+    cfg = env.cfg
+    cx, cy = cfg.bin_center if cfg.bin_center else cfg.drop_pos[:2]
+    e = cfg.bin_half_extent if cfg.use_bin else 0.25
+    zh = cfg.bin_wall_height if cfg.use_bin else 0.2
+    lo = jnp.asarray([cx - e, cy - e, cfg.table_height - 0.01], jnp.float32)
+    hi = jnp.asarray([cx + e, cy + e, cfg.table_height + zh], jnp.float32)
+    return jnp.all((pos >= lo) & (pos <= hi), axis=-1)
+
+
+def _drop_once(env, key, drop_steps: int, settle_steps: int,
+               pos0=None, quat0=None, keep=None):
+    """Drop objects from staggered randomized poses and settle.
+
+    With `keep` [B, K] given, kept objects start from (pos0, quat0)
+    instead of a fresh drop pose (the re-drop path: only out-of-bin
+    objects fall again). Returns settled (pos [B, K, 3], quat [B, K, 4])."""
+    cfg = env.cfg
+    B = cfg.num_envs
+    K = env.cfg_num_objects
+    pos, quat = _sample_drop_poses(env, key)
+    if keep is not None:
+        pos = jnp.where(keep[..., None], pos0, pos)
+        quat = jnp.where(keep[..., None], quat0, quat)
 
     # robot parked in the bringup pose well above the table
     q0 = jnp.broadcast_to(
@@ -107,7 +133,18 @@ def build_initial_pool(
 
     def one_config(key):
         pos, quat = _drop_once(env, key, drop_steps, settle_steps)
-        # objects outside the workspace get re-placed flat at the drop xy
+        # re-drop objects that settled outside the bin, keeping the good
+        # ones in place (reference re-drop-until-in-bin loop,
+        # multi_object_manipulation.py:93-156), bounded for jit
+        for attempt in range(2):
+            good = objects_in_bin(env, pos)
+            key = jax.random.fold_in(key, attempt + 2)
+            pos, quat = _drop_once(
+                env, key, drop_steps, settle_steps,
+                pos0=pos, quat0=quat, keep=good,
+            )
+        # final fallback: anything still outside the workspace gets placed
+        # flat at a spawn pose
         bad = jnp.any(
             (pos < ws_lo[None, None] - 0.05) | (pos > ws_hi[None, None] + 0.05),
             axis=-1,

@@ -120,6 +120,30 @@ def test_genesis_pool_objects_settle_in_workspace():
     assert (pos[..., 2] < cfg.table_height + 0.3).all()
 
 
+def test_genesis_redrop_lands_in_bin():
+    """With bin walls the drop-init pool poses must all pass the
+    objects_in_bin predicate (reference re-drop-until-in-bin,
+    multi_object_manipulation.py:93-156 + multi_object.py:705-719)."""
+    from handarm_tpu.envs.genesis import build_initial_pool, objects_in_bin
+    from handarm_tpu.envs.hand_arm import HandArmConfig, HandArmEnv
+
+    cfg = HandArmConfig(
+        num_envs=4, episode_length=5,
+        use_bin=True,
+        objects=(("box", (0.03, 0.03, 0.03), 0.1), ("sphere", (0.03,), 0.08)),
+        drop_noise=(0.12, 0.12, 0.0),
+    )
+    env = HandArmEnv(cfg)
+    pool = jax.jit(
+        lambda k: build_initial_pool(env, k, num_configurations=2,
+                                     drop_steps=40, settle_steps=120)
+    )(jax.random.PRNGKey(5))
+    pos = np.asarray(pool.pos)  # [2, 4, K, 3]
+    flat = jnp.asarray(pos.reshape(-1, 3))
+    inb = np.asarray(objects_in_bin(env, flat))
+    assert inb.mean() >= 0.9, (inb, pos)
+
+
 def test_dr_randomizes_and_stays_stable():
     from handarm_tpu.envs.hand_arm import HandArmConfig, HandArmEnv
     from handarm_tpu.envs.randomization import DRConfig, NoiseSpec
