@@ -246,6 +246,25 @@ register_classic(
 )
 
 
+def _anymal_factory(num_envs, episode_length):
+    from handarm_tpu.envs.anymal import make_anymal
+
+    return make_anymal(
+        num_envs=num_envs,
+        episode_length=episode_length if episode_length != 500 else 1000,
+    )
+
+
+# reference cfg/train/AnymalPPO.yaml: units [256,128,64], horizon 24,
+# minibatch 32768, gamma 0.99, adaptive kl 0.008
+register_classic(
+    "Anymal",
+    _anymal_factory,
+    dict(hidden=(256, 128, 64), horizon=24, minibatch_size=32768,
+         gamma=0.99, kl_threshold=0.008, reward_scale=1.0),
+)
+
+
 def _shadow_factory(num_envs, episode_length):
     from handarm_tpu.envs.dexhand import make_shadow
 
