@@ -246,6 +246,22 @@ register_classic(
 )
 
 
+def _ball_balance_factory(num_envs, episode_length):
+    from handarm_tpu.envs.ball_balance import make_ball_balance
+
+    return make_ball_balance(num_envs=num_envs, episode_length=episode_length)
+
+
+# reference cfg/train/BallBalancePPO.yaml: units [128,64,32], horizon 16,
+# minibatch 8192, gamma 0.99, adaptive kl 0.008
+register_classic(
+    "BallBalance",
+    _ball_balance_factory,
+    dict(hidden=(128, 64, 32), horizon=16, minibatch_size=8192,
+         gamma=0.99, kl_threshold=0.008, reward_scale=0.1),
+)
+
+
 def _anymal_factory(num_envs, episode_length):
     from handarm_tpu.envs.anymal import make_anymal
 

@@ -37,3 +37,24 @@ def test_anymal_velocity_reward_tracks_commands():
     _, r0 = step(zero_cmd, jnp.zeros((4, 12)))
     _, r1 = step(fast_cmd, jnp.zeros((4, 12)))
     assert float(r0.reward.mean()) > float(r1.reward.mean())
+
+
+def test_ball_balance_spaces_and_physics():
+    """BallBalance (reference tasks/ball_balance.py): tripod stays up, the
+    ball interacts with the tray, fallen balls reset their env."""
+    from handarm_tpu.envs.ball_balance import make_ball_balance
+
+    env = make_ball_balance(num_envs=8, episode_length=300)
+    assert env.num_obs == 24 and env.num_actions == 3
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert obs.shape == (8, 24)
+    step = jax.jit(env.step)
+    resets = 0
+    for _ in range(240):  # 4 s
+        state, res = step(state, jnp.zeros((8, 3)))
+        resets += int(res.done.sum())
+    z_tray = np.asarray(state.physics.robot.base_pos[:, 2])
+    assert (z_tray > 0.3).all(), z_tray  # tripod never collapsed
+    assert bool(jnp.all(jnp.isfinite(res.obs)))
+    # with zero control most balls eventually roll off and respawn
+    assert resets >= 1
