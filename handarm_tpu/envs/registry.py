@@ -246,6 +246,36 @@ register_classic(
 )
 
 
+def _quadcopter_factory(num_envs, episode_length):
+    from handarm_tpu.envs.quadcopter import make_quadcopter
+
+    return make_quadcopter(num_envs=num_envs, episode_length=episode_length)
+
+
+def _ingenuity_factory(num_envs, episode_length):
+    from handarm_tpu.envs.ingenuity import make_ingenuity
+
+    return make_ingenuity(
+        num_envs=num_envs,
+        episode_length=episode_length if episode_length != 500 else 2000,
+    )
+
+
+# reference cfg/train/QuadcopterPPO.yaml / IngenuityPPO.yaml: [256,256,128]
+register_classic(
+    "Quadcopter",
+    _quadcopter_factory,
+    dict(hidden=(256, 256, 128), horizon=16, minibatch_size=16384,
+         gamma=0.99, kl_threshold=0.016, reward_scale=0.1),
+)
+register_classic(
+    "Ingenuity",
+    _ingenuity_factory,
+    dict(hidden=(256, 256, 128), horizon=16, minibatch_size=16384,
+         gamma=0.99, kl_threshold=0.016, reward_scale=0.1),
+)
+
+
 def _ball_balance_factory(num_envs, episode_length):
     from handarm_tpu.envs.ball_balance import make_ball_balance
 

@@ -58,3 +58,42 @@ def test_ball_balance_spaces_and_physics():
     assert bool(jnp.all(jnp.isfinite(res.obs)))
     # with zero control most balls eventually roll off and respawn
     assert resets >= 1
+
+
+def test_quadcopter_thrust_lifts():
+    """Quadcopter (reference tasks/quadcopter.py): full thrust overcomes
+    gravity; zero thrust falls."""
+    from handarm_tpu.envs.quadcopter import make_quadcopter
+
+    env = make_quadcopter(num_envs=4, episode_length=300)
+    assert env.num_obs == 21 and env.num_actions == 12
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    up = jnp.zeros((4, 12)).at[:, 8:].set(1.0)
+    z0 = np.asarray(state.physics.robot.base_pos[:, 2]).copy()
+    for _ in range(40):
+        state, res = step(state, up)
+    z1 = np.asarray(state.physics.robot.base_pos[:, 2])
+    # most envs climb (some may reset mid-run when they fly out of range)
+    assert (z1 > z0).mean() >= 0.75, (z0, z1)
+    assert bool(jnp.all(jnp.isfinite(res.obs)))
+
+
+def test_ingenuity_mars_gravity_flight():
+    """Ingenuity (reference tasks/ingenuity.py): climbs under coaxial
+    thrust at Mars gravity, falls without."""
+    from handarm_tpu.envs.ingenuity import make_ingenuity
+
+    env = make_ingenuity(num_envs=4, episode_length=1000)
+    assert env.num_obs == 13 and env.num_actions == 6
+    state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    up = jnp.zeros((4, 6)).at[:, 2].set(0.3).at[:, 5].set(0.3)
+    for _ in range(40):
+        state, res = step(state, up)
+    z1 = np.asarray(state.physics.robot.base_pos[:, 2])
+    assert (z1 > 1.2).all(), z1
+    for _ in range(90):
+        state, res = step(state, jnp.zeros((4, 6)))
+    z2 = np.asarray(state.physics.robot.base_pos[:, 2])
+    assert (z2 < 1.3).all(), z2  # fell (or reset to spawn at 1.0)
