@@ -246,6 +246,24 @@ register_classic(
 )
 
 
+def _franka_stack_factory(num_envs, episode_length):
+    from handarm_tpu.envs.franka import make_franka_cube_stack
+
+    return make_franka_cube_stack(
+        num_envs=num_envs,
+        episode_length=episode_length if episode_length != 500 else 300,
+    )
+
+
+# reference cfg/train/FrankaCubeStackPPO.yaml: units [256,128,64]
+register_classic(
+    "FrankaCubeStack",
+    _franka_stack_factory,
+    dict(hidden=(256, 128, 64), horizon=32, minibatch_size=16384,
+         gamma=0.99, kl_threshold=0.008, reward_scale=0.1),
+)
+
+
 def _quadcopter_factory(num_envs, episode_length):
     from handarm_tpu.envs.quadcopter import make_quadcopter
 

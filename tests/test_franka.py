@@ -1,0 +1,40 @@
+"""FrankaCubeStack + the OSC controller (reference franka_cube_stack.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from handarm_tpu.envs.franka import make_franka_cube_stack
+
+
+def test_franka_spaces_and_rest():
+    env = make_franka_cube_stack(num_envs=4)
+    assert env.num_obs == 19 and env.num_actions == 7
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert obs.shape == (4, 19)
+    step = jax.jit(env.step)
+    for _ in range(60):
+        state, res = step(state, jnp.zeros((4, 7)))
+    z = np.asarray(state.physics.objects.pos[:, :, 2])
+    # cubes rest on the table at their half-extents
+    np.testing.assert_allclose(z[:, 0], 1.05, atol=0.01)
+    np.testing.assert_allclose(z[:, 1], 1.06, atol=0.01)
+    assert bool(jnp.all(jnp.isfinite(res.obs)))
+
+
+def test_franka_osc_tracks_dpose():
+    """A constant downward dpose command must move the end effector down
+    (task-space impedance actually controls the eef)."""
+    env = make_franka_cube_stack(num_envs=2)
+    state, _ = jax.jit(env.reset)(jax.random.PRNGKey(1))
+    step = jax.jit(env.step)
+    _, p0, *_ = env._eef(state.physics)
+    down = jnp.zeros((2, 7)).at[:, 2].set(-1.0).at[:, 6].set(1.0)
+    for _ in range(40):
+        state, _ = step(state, down)
+    _, p1, *_ = env._eef(state.physics)
+    dz = np.asarray(p1[:, 2] - p0[:, 2])
+    assert (dz < -0.05).all(), dz
+    # and x/y stayed comparatively put
+    dxy = np.linalg.norm(np.asarray(p1[:, :2] - p0[:, :2]), axis=-1)
+    assert (dxy < np.abs(dz)).all(), (dxy, dz)
