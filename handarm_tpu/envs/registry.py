@@ -23,7 +23,16 @@ def register(name: str, cfg: HandArmConfig, ppo_overrides: dict | None = None):
 
 register(
     "Ur5SihLift",
-    HandArmConfig(goal="lift"),
+    HandArmConfig(
+        goal="lift",
+        # reference-faithful scene: the fork grasps out of a walled bin
+        # (env/multi_object.py:422-435); a 6 cm cube is the YCB size class
+        # (015_peach ~6 cm). The round-1 9-cm box + open table made the
+        # task depend on a pinch geometry the SIH cannot reach (see
+        # docs/grasping_notes.md).
+        objects=(("box", (0.03, 0.03, 0.03), 0.15),),
+        use_bin=True,
+    ),
     dict(minibatch_size=8192),
 )
 register(
