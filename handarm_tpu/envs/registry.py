@@ -255,6 +255,24 @@ register_classic(
 )
 
 
+def _trifinger_factory(num_envs, episode_length):
+    from handarm_tpu.envs.trifinger import make_trifinger
+
+    return make_trifinger(
+        num_envs=num_envs,
+        episode_length=episode_length if episode_length != 500 else 750,
+    )
+
+
+# reference cfg/train/TrifingerPPO.yaml: units [256,256,128,128]
+register_classic(
+    "Trifinger",
+    _trifinger_factory,
+    dict(hidden=(256, 256, 128, 128), horizon=8, minibatch_size=16384,
+         gamma=0.99, kl_threshold=0.016, reward_scale=0.01),
+)
+
+
 def _franka_stack_factory(num_envs, episode_length):
     from handarm_tpu.envs.franka import make_franka_cube_stack
 

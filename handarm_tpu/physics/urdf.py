@@ -101,8 +101,31 @@ def _parse_geometry(geom_el: ET.Element, urdf_dir: str) -> Geometry | None:
             )
         if child.tag == "mesh":
             fn = child.get("filename") or ""
-            fn = fn.replace("package://", "")
-            path = fn if os.path.isabs(fn) else os.path.normpath(os.path.join(urdf_dir, fn))
+            if fn.startswith("package://"):
+                # ROS package URI: walk up from the urdf dir until a parent
+                # contains the package directory (e.g. the trifinger assets
+                # reference package://robot_properties_fingers/meshes/...)
+                rel = fn[len("package://"):]
+                pkg = rel.split("/", 1)[0]
+                path = None
+                d = urdf_dir
+                for _ in range(8):
+                    cand = os.path.join(d, rel)
+                    if os.path.basename(d) == pkg and os.path.exists(
+                        os.path.join(d, rel.split("/", 1)[1])
+                    ):
+                        path = os.path.join(d, rel.split("/", 1)[1])
+                        break
+                    if os.path.exists(cand):
+                        path = cand
+                        break
+                    d = os.path.dirname(d)
+                if path is None:
+                    path = os.path.normpath(os.path.join(urdf_dir, rel))
+            else:
+                path = fn if os.path.isabs(fn) else os.path.normpath(
+                    os.path.join(urdf_dir, fn)
+                )
             scale = _floats(child.get("scale"), (1.0, 1.0, 1.0))
             return Geometry("mesh", mesh_path=path, mesh_scale=scale)
     return None

@@ -38,3 +38,33 @@ def test_franka_osc_tracks_dpose():
     # and x/y stayed comparatively put
     dxy = np.linalg.norm(np.asarray(p1[:, :2] - p0[:, :2]), axis=-1)
     assert (dxy < np.abs(dz)).all(), (dxy, dz)
+
+
+def test_trifinger_spaces_and_reach():
+    """Trifinger (reference tasks/trifinger.py): cube rests in the arena,
+    torque control reaches the floor, keypoint reward increases as the
+    object keypoints approach the goal keypoints."""
+    from handarm_tpu.envs.trifinger import make_trifinger, gen_keypoints, _lgsk
+
+    env = make_trifinger(num_envs=4, episode_length=200)
+    assert env.num_obs == 41 and env.num_actions == 9
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert obs.shape == (4, 41)
+    step = jax.jit(env.step)
+    for _ in range(30):
+        state, res = step(state, jnp.zeros((4, 9)))
+    z = np.asarray(state.physics.objects.pos[:, 0, 2])
+    np.testing.assert_allclose(z, 0.0325, atol=0.005)
+    assert bool(jnp.all(jnp.isfinite(res.obs)))
+    # reward monotonicity: moving the cube onto the goal raises reward
+    on_goal = state._replace(
+        physics=state.physics._replace(
+            objects=state.physics.objects._replace(
+                pos=state.goal_pos[:, None],
+                quat=state.goal_quat[:, None],
+            )
+        )
+    )
+    _, r_on = step(on_goal, jnp.zeros((4, 9)))
+    _, r_off = step(state, jnp.zeros((4, 9)))
+    assert float(r_on.reward.mean()) > float(r_off.reward.mean())
