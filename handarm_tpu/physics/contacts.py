@@ -157,38 +157,49 @@ def _static_surface(geom: StaticGeom, p: jnp.ndarray):
     return dist, n
 
 
+def _one_wall_surface(lo, hi, p):
+    """Signed distance + outward normal to a single AABB, gather-free."""
+    q = jnp.clip(p, lo, hi)
+    d_vec = p - q
+    dist_out = jnp.linalg.norm(d_vec, axis=-1)
+    outside = dist_out > 1e-9
+    n_out = d_vec / jnp.maximum(dist_out[..., None], 1e-9)
+    # inside: minimum push-out axis, selected with where-chains (argmin /
+    # take_along_axis lower to slow TPU gathers in this hot path)
+    push_lo = p - lo
+    push_hi = hi - p
+    push = jnp.minimum(push_lo, push_hi)  # [..., 3]
+    n_in = jnp.zeros_like(p).at[..., 0].set(
+        jnp.where(push_lo[..., 0] <= push_hi[..., 0], -1.0, 1.0)
+    )
+    best = push[..., 0]
+    for a in (1, 2):
+        closer = push[..., a] < best
+        na = jnp.where(push_lo[..., a] <= push_hi[..., a], -1.0, 1.0)
+        cand = jnp.zeros_like(p).at[..., a].set(na)
+        n_in = jnp.where(closer[..., None], cand, n_in)
+        best = jnp.minimum(best, push[..., a])
+    dist = jnp.where(outside, dist_out, -best)
+    n = jnp.where(outside[..., None], n_out, n_in)
+    return dist, n
+
+
 def _wall_surface(geom: StaticGeom, p: jnp.ndarray):
     """Signed distance of points to the NEAREST wall AABB with outward
     normal. p: [..., 3] -> (dist, normal). Requires num_walls > 0.
-
-    Outside: distance/direction to the closest point on the box. Inside:
-    negative minimum push-out with the corresponding face normal."""
-    lo = jnp.asarray(geom.wall_lo, p.dtype)  # [W, 3]
-    hi = jnp.asarray(geom.wall_hi, p.dtype)
-    pe = p[..., None, :]  # [..., W, 3]
-    q = jnp.clip(pe, lo, hi)
-    d_vec = pe - q
-    dist_out = jnp.linalg.norm(d_vec, axis=-1)  # [..., W]
-    outside = dist_out > 1e-9
-    n_out = d_vec / jnp.maximum(dist_out[..., None], 1e-9)
-    # inside: per-axis push-out
-    push_lo = pe - lo  # positive inside
-    push_hi = hi - pe
-    push = jnp.minimum(push_lo, push_hi)  # [..., W, 3]
-    min_push = jnp.min(push, axis=-1)  # [..., W]
-    ax = jnp.argmin(push, axis=-1)  # [..., W]
-    sign = jnp.where(
-        jnp.take_along_axis(push_lo, ax[..., None], axis=-1)
-        <= jnp.take_along_axis(push_hi, ax[..., None], axis=-1),
-        -1.0, 1.0,
-    )  # [..., W, 1]
-    n_in = jax.nn.one_hot(ax, 3, dtype=p.dtype) * sign
-    dist_w = jnp.where(outside, dist_out, -min_push)  # [..., W]
-    n_w = jnp.where(outside[..., None], n_out, n_in)
-    # nearest (deepest) wall wins
-    widx = jnp.argmin(dist_w, axis=-1)  # [...]
-    dist = jnp.take_along_axis(dist_w, widx[..., None], axis=-1)[..., 0]
-    n = jnp.take_along_axis(n_w, widx[..., None, None], axis=-2)[..., 0, :]
+    Statically unrolled min-combine over walls (W is small)."""
+    lo = np.asarray(geom.wall_lo)
+    hi = np.asarray(geom.wall_hi)
+    dist, n = _one_wall_surface(
+        jnp.asarray(lo[0], p.dtype), jnp.asarray(hi[0], p.dtype), p
+    )
+    for w in range(1, lo.shape[0]):
+        dw, nw = _one_wall_surface(
+            jnp.asarray(lo[w], p.dtype), jnp.asarray(hi[w], p.dtype), p
+        )
+        closer = dw < dist
+        dist = jnp.where(closer, dw, dist)
+        n = jnp.where(closer[..., None], nw, n)
     return dist, n
 
 
