@@ -291,6 +291,22 @@ register_classic(
 )
 
 
+def _franka_cabinet_factory(num_envs, episode_length):
+    from handarm_tpu.envs.franka_cabinet import make_franka_cabinet
+
+    return make_franka_cabinet(num_envs=num_envs, episode_length=episode_length)
+
+
+# reference cfg/train/FrankaCabinetPPO.yaml: units [256,128,64], horizon 16,
+# minibatch 8192, gamma 0.99, adaptive kl 0.008, reward shaper 0.01
+register_classic(
+    "FrankaCabinet",
+    _franka_cabinet_factory,
+    dict(hidden=(256, 128, 64), horizon=16, minibatch_size=8192,
+         gamma=0.99, kl_threshold=0.008, reward_scale=0.01),
+)
+
+
 def _quadcopter_factory(num_envs, episode_length):
     from handarm_tpu.envs.quadcopter import make_quadcopter
 

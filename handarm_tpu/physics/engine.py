@@ -114,6 +114,24 @@ class StepInfo(NamedTuple):
     max_penetration: jnp.ndarray  # [B]
 
 
+class RailSpec(NamedTuple):
+    """Prismatic constraint on selected objects (TPU-native 1-DoF joints).
+
+    Replaces articulated drawers/doors (e.g. the sektion cabinet's
+    drawer_top_joint, reference assets/.../sektion_cabinet_2.urdf:439-446):
+    the object participates in the contact solve as a free body, then its
+    pose/velocity are post-projected onto the rail line each substep
+    (a post-stabilized prismatic joint — branch-free, static shapes)."""
+
+    axis: jnp.ndarray  # [K, 3] unit slide axis, world frame
+    origin: jnp.ndarray  # [K, 3] world position at s = 0
+    quat: jnp.ndarray  # [K, 4] fixed orientation (wxyz)
+    lo: jnp.ndarray  # [K] joint lower limit (m)
+    hi: jnp.ndarray  # [K] joint upper limit (m)
+    damping: jnp.ndarray  # [K] per-second viscous decay rate (1/s)
+    mask: jnp.ndarray  # [K] 1.0 = rail-constrained, 0.0 = free
+
+
 class Scene(NamedTuple):
     """Static scene description: the robot articulation + K free objects on a
     table. Everything here is trace-time constant."""
@@ -132,6 +150,7 @@ class Scene(NamedTuple):
     # static one-hot scatter maps for contact-force aggregation
     slot_to_body: jnp.ndarray  # [C, nb]
     slot_to_obj: jnp.ndarray  # [C, K]
+    rails: RailSpec | None = None  # optional prismatic-constrained objects
 
 
 def build_scene(
@@ -144,6 +163,7 @@ def build_scene(
     base_pos=(0.0, 0.0, 0.0),
     base_quat=(1.0, 0.0, 0.0, 0.0),
     params: SimParams = SimParams(),
+    rails: RailSpec | None = None,
     dtype=jnp.float32,
 ) -> Scene:
     m = model_arrays(art, dtype)
@@ -175,6 +195,7 @@ def build_scene(
         params=params,
         slot_to_body=jnp.asarray(s2b),
         slot_to_obj=jnp.asarray(s2o),
+        rails=rails,
     )
 
 
@@ -217,6 +238,25 @@ def _clamp_base_velocity(m, qd, base_pos, p: SimParams):
     v_c = jnp.clip(v_b, -p.max_base_linvel, p.max_base_linvel)
     v_o = v_c - jnp.cross(w_c, base_pos)
     return jnp.concatenate([v_o, w_c, qd[:, 6:]], axis=-1)
+
+
+def _apply_rails(scene: Scene, opos, oquat, olv, oav, h):
+    """Post-projection of rail-constrained objects (see RailSpec)."""
+    r = scene.rails
+    m_rail = r.mask[None, :, None] > 0  # [1, K, 1]
+    s = jnp.einsum("bki,ki->bk", opos - r.origin[None], r.axis)
+    at_lo, at_hi = s <= r.lo[None], s >= r.hi[None]
+    s = jnp.clip(s, r.lo[None], r.hi[None])
+    pos_rail = r.origin[None] + s[..., None] * r.axis[None]
+    v_ax = jnp.einsum("bki,ki->bk", olv, r.axis)
+    v_ax = jnp.where(at_lo, jnp.maximum(v_ax, 0.0), v_ax)
+    v_ax = jnp.where(at_hi, jnp.minimum(v_ax, 0.0), v_ax)
+    v_ax = v_ax * jnp.maximum(0.0, 1.0 - h * r.damping[None])
+    olv = jnp.where(m_rail, v_ax[..., None] * r.axis[None], olv)
+    oav = jnp.where(m_rail, 0.0, oav)
+    opos = jnp.where(m_rail, pos_rail, opos)
+    oquat = jnp.where(m_rail, r.quat[None], oquat)
+    return opos, oquat, olv, oav
 
 
 def substep(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides()):
@@ -296,6 +336,10 @@ def substep(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides(
             scene.shapes.inertia_diag, p.solver.rolling_friction,
         )
     opos_new, oquat_new = free_body_integrate(opos, oquat, olv, oav, h)
+    if scene.rails is not None:
+        opos_new, oquat_new, olv, oav = _apply_rails(
+            scene, opos_new, oquat_new, olv, oav, h
+        )
 
     # contact force diagnostics from accumulated world-frame impulses
     f_slot = out.impulse / h  # [B, C, 3]
@@ -441,6 +485,10 @@ def step(
                 scene.shapes.inertia_diag, p.solver.rolling_friction,
             )
         opos_new, oquat_new = free_body_integrate(opos, oquat, olv, oav, h)
+        if scene.rails is not None:
+            opos_new, oquat_new, olv, oav = _apply_rails(
+                scene, opos_new, oquat_new, olv, oav, h
+            )
         bq_new, bp_new, screw_new = _propagate_fk(m, bq, bp, screw, qd_new, h)
         return (
             q_new, qd_new, opos_new, oquat_new, olv, oav,

@@ -113,6 +113,76 @@ def make_box_object(
     )
 
 
+def make_compound_box_object(
+    parts: list[tuple],
+    mass: float,
+    friction: float = 1.0,
+    sdf_resolution: int = 32,
+    margin: float = 0.03,
+):
+    """One rigid body made of several boxes (union), as a baked voxel SDF.
+
+    Replaces PhysX convex-decomposition compounds (e.g. the sektion
+    cabinet drawer's 7 collision hulls, reference
+    assets/.../sektion_cabinet_2.urdf drawer_top link) with an analytic
+    union-of-boxes SDF sampled onto the engine's voxel grid. `parts` is a
+    list of (center [3], half_extents [3]) in the body frame; mass and
+    inertia use uniform density over the total part volume (parallel-axis)."""
+    parts = [(np.asarray(c, np.float64), np.asarray(h, np.float64)) for c, h in parts]
+    vols = np.array([8.0 * h.prod() for _, h in parts])
+    dens = mass / max(vols.sum(), 1e-12)
+
+    lo = np.min([c - h for c, h in parts], axis=0) - margin
+    hi = np.max([c + h for c, h in parts], axis=0) + margin
+    spacing = float((hi - lo).max() / (sdf_resolution - 1))
+    axes = [lo[i] + spacing * np.arange(sdf_resolution) for i in range(3)]
+    gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+    p = np.stack([gx, gy, gz], axis=-1)  # [R,R,R,3]
+
+    def box_sdf(p, c, h):
+        q = np.abs(p - c) - h
+        out = np.maximum(q, 0.0)
+        return np.linalg.norm(out, axis=-1) + np.minimum(q.max(axis=-1), 0.0)
+
+    grid = np.min([box_sdf(p, c, h) for c, h in parts], axis=0).astype(np.float32)
+
+    pts, rad = [], []
+    for c, h in parts:
+        pts.append(box_points(h, n_per_edge=1) + c)
+    pts = np.concatenate(pts, axis=0)
+    # drop samples interior to the union (corners swallowed by another part)
+    d = np.min([box_sdf(pts, c, h) for c, h in parts], axis=0)
+    pts = pts[d > -1e-6]
+
+    inertia = np.zeros(3)
+    com = sum(dens * v * c for (c, _), v in zip(parts, vols)) / mass
+    for (c, h), v in zip(parts, vols):
+        m = dens * v
+        i_local = box_inertia_diag(m, h)
+        r = c - com
+        r2 = (r**2).sum()
+        inertia += i_local + m * (r2 - r**2)
+    # NOTE: body frame origin stays at the construction origin (not the
+    # com); compound parts are expected to be roughly com-centered by the
+    # caller. The engine treats the frame origin as the com.
+    bound = float(np.linalg.norm(np.maximum(np.abs(lo), np.abs(hi))))
+    return dict(
+        kind=MESH_SDF,
+        size=(hi - lo) / 2.0,
+        obb_pos=(hi + lo) / 2.0,
+        obb_quat=np.array([1.0, 0.0, 0.0, 0.0]),
+        points=pts,
+        point_radius=np.zeros(len(pts)),
+        bound_radius=bound,
+        mass=float(mass),
+        inertia_diag=np.clip(inertia, 1e-7, None),
+        friction=friction,
+        sdf_grid=grid,
+        sdf_lo=lo.astype(np.float32),
+        sdf_spacing=spacing,
+    )
+
+
 def make_sphere_object(radius: float, mass: float, friction: float = 1.0):
     return dict(
         kind=SPHERE,

@@ -29,6 +29,8 @@ def main(argv):
     max_iterations = int(kv.pop("max_iterations", 1000))
     seed = int(kv.pop("seed", 42))
     exp_name = kv.pop("experiment", task)
+    resume = kv.pop("resume", "")  # "" | "auto" | path to a ckpt .npz
+    save_every = int(kv.pop("save_every", 100))
 
     from handarm_tpu.utils.jaxinit import force_platform, setup_cache
 
@@ -58,6 +60,28 @@ def main(argv):
 
     key = jax.random.PRNGKey(seed)
     ts = ppo.init(key)
+    start_it = 0
+    if resume:
+        from handarm_tpu.utils.checkpoint import load_checkpoint
+
+        path = resume
+        if resume == "auto":
+            # newest periodic checkpoint in this run dir, if any
+            import glob
+
+            cands = [
+                p for p in glob.glob(os.path.join(run_dir, "nn", "ckpt_*.npz"))
+                if "best" not in p
+            ]
+            path = max(
+                cands,
+                key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]),
+                default="",
+            )
+        if path:
+            ts = load_checkpoint(path, example_tree=ts)
+            start_it = int(path.rsplit("_", 1)[1].split(".")[0])
+            print(f"resumed from {path} at iter {start_it}")
     mesh = make_mesh()
     if mesh.devices.size > 1:
         ts = shard_train_state(mesh, ts)
@@ -71,10 +95,9 @@ def main(argv):
     )
     from handarm_tpu.utils.checkpoint import save_checkpoint
 
-    save_every = 200
     best_reward = float("-inf")
     t_start = time.time()
-    for it in range(max_iterations):
+    for it in range(start_it, max_iterations):
         t0 = time.time()
         ts, stats = train_iter(ts)
         stats = {k: float(v) for k, v in stats.items()}
