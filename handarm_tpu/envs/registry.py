@@ -291,6 +291,34 @@ register_classic(
 )
 
 
+def _allegro_kuka_factory(variant):
+    def factory(num_envs, episode_length):
+        from handarm_tpu.envs.allegro_kuka import make_allegro_kuka
+
+        return make_allegro_kuka(
+            variant=variant,
+            num_envs=num_envs,
+            episode_length=episode_length if episode_length != 500 else 600,
+        )
+
+    return factory
+
+
+# reference cfg/train/AllegroKukaPPO.yaml (DexPBT MLP variant): units
+# [768,512,256], horizon 16, minibatch 32768, gamma 0.99, adaptive kl 0.016
+for _variant, _name in (
+    ("reorientation", "AllegroKukaReorientation"),
+    ("regrasping", "AllegroKukaRegrasping"),
+    ("throw", "AllegroKukaThrow"),
+):
+    register_classic(
+        _name,
+        _allegro_kuka_factory(_variant),
+        dict(hidden=(768, 512, 256), horizon=16, minibatch_size=32768,
+             gamma=0.99, kl_threshold=0.016, reward_scale=0.01),
+    )
+
+
 def _franka_cabinet_factory(num_envs, episode_length):
     from handarm_tpu.envs.franka_cabinet import make_franka_cabinet
 

@@ -126,6 +126,18 @@ def _parse_geometry(geom_el: ET.Element, urdf_dir: str) -> Geometry | None:
                 path = fn if os.path.isabs(fn) else os.path.normpath(
                     os.path.join(urdf_dir, fn)
                 )
+                if not os.path.isabs(fn) and not os.path.exists(path):
+                    # some assets reference meshes relative to the asset
+                    # ROOT, not the urdf dir (e.g. kuka_allegro_description
+                    # urdfs use "kuka_allegro_description/meshes/...");
+                    # walk up the tree until the relative path resolves
+                    d = os.path.dirname(urdf_dir)
+                    for _ in range(8):
+                        cand = os.path.normpath(os.path.join(d, fn))
+                        if os.path.exists(cand):
+                            path = cand
+                            break
+                        d = os.path.dirname(d)
             scale = _floats(child.get("scale"), (1.0, 1.0, 1.0))
             return Geometry("mesh", mesh_path=path, mesh_scale=scale)
     return None
