@@ -240,6 +240,22 @@ def _clamp_base_velocity(m, qd, base_pos, p: SimParams):
     return jnp.concatenate([v_o, w_c, qd[:, 6:]], axis=-1)
 
 
+def _cap_contact_gain(v_out, v_free, w_out, w_free, shapes, p: SolverParams):
+    """Bound the kinetic energy a contact solve can inject (see
+    SolverParams.max_contact_gain). Per object: |v_out| <= |v_free| + cap;
+    |w_out| <= |w_free| + cap / bound_radius."""
+    cap = p.max_contact_gain
+    sv = jnp.linalg.norm(v_out, axis=-1)  # [B, K]
+    allow_v = jnp.linalg.norm(v_free, axis=-1) + cap
+    v_scale = jnp.minimum(1.0, allow_v / jnp.maximum(sv, 1e-9))
+    sw = jnp.linalg.norm(w_out, axis=-1)
+    allow_w = jnp.linalg.norm(w_free, axis=-1) + cap / jnp.maximum(
+        shapes.bound_radius, 1e-3
+    )
+    w_scale = jnp.minimum(1.0, allow_w / jnp.maximum(sw, 1e-9))
+    return v_out * v_scale[..., None], w_out * w_scale[..., None]
+
+
 def _apply_rails(scene: Scene, opos, oquat, olv, oav, h):
     """Post-projection of rail-constrained objects (see RailSpec)."""
     r = scene.rails
@@ -305,7 +321,7 @@ def substep(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides(
     )
 
     # integrate
-    qd_new = jnp.clip(out.qd, -m.velocity_limit * 4.0, m.velocity_limit * 4.0)
+    qd_new = jnp.clip(out.qd, -m.velocity_limit, m.velocity_limit)
     if m.floating:
         qd_new = _clamp_base_velocity(m, qd_new, base_pos, p)
     q_new = q + h * qd_new
@@ -328,8 +344,12 @@ def substep(scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides(
     else:
         base_pos_new, base_quat_new = rob.base_pos, rob.base_quat
 
-    olv = jnp.clip(out.obj_linvel, -p.max_obj_linvel, p.max_obj_linvel)
-    oav = jnp.clip(out.obj_angvel, -p.max_obj_angvel, p.max_obj_angvel)
+    olv, oav = _cap_contact_gain(
+        out.obj_linvel, olin_free, out.obj_angvel, oang_free,
+        scene.shapes, p.solver,
+    )
+    olv = jnp.clip(olv, -p.max_obj_linvel, p.max_obj_linvel)
+    oav = jnp.clip(oav, -p.max_obj_angvel, p.max_obj_angvel)
     if p.solver.rolling_friction > 0.0 and scene.shapes.num_objects:
         oav = _rolling_resistance(
             oav, out.impulse, contacts.normal, scene.slot_to_obj,
@@ -468,7 +488,7 @@ def step(
         olin_free = olin * (1.0 - h * p.obj_linear_damping) + h * g_obj
         oang_free = oang * (1.0 - h * p.obj_angular_damping) + gyroscopic_delta(oquat, scene.shapes.inertia_diag, oang, h)
         out = solve_prepared(prep, qd_free, olin_free, oang_free, p.solver, lam)
-        qd_new = jnp.clip(out.qd, -m.velocity_limit * 4.0, m.velocity_limit * 4.0)
+        qd_new = jnp.clip(out.qd, -m.velocity_limit, m.velocity_limit)
         if m.floating:
             qd_new = _clamp_base_velocity(m, qd_new, bp[:, 0], p)
         q_new = q + h * qd_new
@@ -477,8 +497,12 @@ def step(
         q_new = jnp.clip(q_new, low, high)
         qd_new = jnp.where(below, jnp.maximum(qd_new, 0.0), qd_new)
         qd_new = jnp.where(above, jnp.minimum(qd_new, 0.0), qd_new)
-        olv = jnp.clip(out.obj_linvel, -p.max_obj_linvel, p.max_obj_linvel)
-        oav = jnp.clip(out.obj_angvel, -p.max_obj_angvel, p.max_obj_angvel)
+        olv, oav = _cap_contact_gain(
+            out.obj_linvel, olin_free, out.obj_angvel, oang_free,
+            scene.shapes, p.solver,
+        )
+        olv = jnp.clip(olv, -p.max_obj_linvel, p.max_obj_linvel)
+        oav = jnp.clip(oav, -p.max_obj_angvel, p.max_obj_angvel)
         if p.solver.rolling_friction > 0.0 and scene.shapes.num_objects:
             oav = _rolling_resistance(
                 oav, out.impulse, contacts.normal, scene.slot_to_obj,

@@ -331,10 +331,12 @@ def parse_mjcf(path: str) -> tuple[UrdfModel, MjcfExtras]:
                     upper=float(hi),
                     effort=1e9,  # torque limits applied via motor gears
                     # MuJoCo has no joint velocity cap, but the engine's
-                    # 4x-velocity_limit safety clamp (engine.py) needs a
-                    # finite value or airborne flailing diverges (gyroscopic
-                    # blowup); 25 rad/s -> 100 rad/s hard cap, ~PhysX-like
-                    velocity=25.0,
+                    # velocity_limit clamp (engine.py, PhysX maxVelocity
+                    # analog) needs a finite value or airborne flailing
+                    # diverges (gyroscopic blowup). 100 rad/s ~ PhysX's
+                    # permissive default for mjcf imports; URDF robots get
+                    # their declared limits instead
+                    velocity=100.0,
                     damping=float(a.get("damping", 0.0)),
                     friction=float(a.get("frictionloss", 0.0)),
                 )

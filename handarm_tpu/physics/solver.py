@@ -44,6 +44,12 @@ class SolverParams(NamedTuple):
     slop: float = 0.001
     warm_start: float = 0.9  # fraction of last substep's impulses reapplied
     max_depenetration_vel: float = 0.5
+    # energy guard (PhysX maxDepenetrationVelocity semantics, applied to
+    # the OUTPUT): a contact solve may not leave an object faster than it
+    # arrived plus this budget [m/s]. Near-antiparallel contact normals
+    # (a finger-wedge squeeze) geometrically amplify the per-contact bias
+    # cap into 10-20 m/s "watermelon-seed" ejections without this.
+    max_contact_gain: float = 1.0
     activation_margin: float = 0.0
     restitution: float = 0.0  # Newtonian bounce: target separating velocity
     # = -restitution * pre-solve approach velocity (for impacts faster than
@@ -105,7 +111,8 @@ def _obj_incidence(slots, num_objects: int):
     return group_obj, slot_a, slot_b
 
 
-def _mass_split(active, group_onehot, group_obj=None, slot_obj=None):
+def _mass_split(active, group_onehot, group_obj=None, slot_obj=None,
+                robot_mask=None):
     """Two-level mass splitting for the parallel sweep.
 
     Level 1 — within-group: divide by the active-slot count of each slot's
@@ -130,7 +137,12 @@ def _mass_split(active, group_onehot, group_obj=None, slot_obj=None):
         groups_on_obj = jnp.einsum("bg,gk->bk", g_active, group_obj)  # [B, K]
         # per-slot factor: worst (max) group count over the slot's two
         # object participants (sum would over-damp object-object contacts
-        # to the point of breaking stacking impacts)
+        # to the point of breaking stacking impacts). A third level across
+        # robot-contact groups was tried and REVERTED: the apparent
+        # robot-side Jacobi divergence motivating it was the axon
+        # _tangent_basis miscompile (see _tangent_basis), and splitting
+        # across feet/finger groups softened contacts enough to break
+        # locomotion learning.
         fa = jnp.einsum("bk,ck->bc", groups_on_obj, slot_obj_a)
         fb = jnp.einsum("bk,ck->bc", groups_on_obj, slot_obj_b)
         factor = jnp.maximum(fa, fb)
@@ -139,14 +151,20 @@ def _mass_split(active, group_onehot, group_obj=None, slot_obj=None):
 
 
 def _tangent_basis(n: jnp.ndarray):
-    """Robust orthonormal tangents for unit normals n: [..., 3]."""
+    """Robust orthonormal tangents for unit normals n: [..., 3].
+
+    Normalization uses rsqrt(sum(t^2) + eps), NOT
+    `t / max(linalg.norm(t), 1e-9)`: the axon TPU backend miscompiles the
+    norm+max+divide pattern in large fused programs (observed: norm -> 0
+    for unit tangents, so the 1e-9 floor turned the basis into 1e9 rows
+    and d_eff into ~1e19, exploding the contact solve on TPU only)."""
     ax = jnp.where(
         jnp.abs(n[..., 0:1]) < 0.9,
         jnp.array([1.0, 0.0, 0.0], n.dtype),
         jnp.array([0.0, 1.0, 0.0], n.dtype),
     )
     t1 = jnp.cross(n, ax)
-    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    t1 = t1 * jax.lax.rsqrt(jnp.sum(t1 * t1, axis=-1, keepdims=True) + 1e-18)
     t2 = jnp.cross(n, t1)
     return t1, t2
 
@@ -291,7 +309,8 @@ def _prepare(
     go_np, sa_np, sb_np = _obj_incidence(slots, K)
     group_obj = jnp.asarray(go_np, dtype)
     slot_obj = (jnp.asarray(sa_np, dtype), jnp.asarray(sb_np, dtype))
-    split = _mass_split(active, group_onehot, group_obj, slot_obj)
+    split = _mass_split(active, group_onehot, group_obj, slot_obj,
+                        robot_mask=robot_mask)
     return _Prep(
         active=active, basis=basis, inv_d=inv_d, bias=bias, mu=mu,
         split=split,
@@ -344,7 +363,7 @@ def refresh_prep(
         r = contacts.pos - obj_pos[:, kidx]
         sides[side] = (kidx, r, Iinv_c, invm_c, mask, sign, onehot)
     split = _mass_split(active, prep.group_onehot, prep.group_obj,
-                        prep.slot_obj)
+                        prep.slot_obj, robot_mask=prep.robot_mask)
     return prep._replace(
         active=active, basis=basis, inv_d=inv_d, bias=bias, mu=mu,
         split=split, pos=contacts.pos, screw=fk.screw, sides=sides,
