@@ -25,12 +25,30 @@ def quat_conj(q: jnp.ndarray) -> jnp.ndarray:
     return q * jnp.array([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
 
 
+def safe_norm(x: jnp.ndarray, axis=-1, keepdims: bool = False,
+              eps: float = 1e-20) -> jnp.ndarray:
+    """sqrt(sum(x^2) + eps) — use instead of jnp.linalg.norm in jitted hot
+    paths: the axon TPU backend miscompiles linalg.norm inside large fused
+    programs (returns 0 for unit vectors; see physics/solver._tangent_basis).
+    """
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps)
+
+
+def safe_normalize(x: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
+    """x/|x| with an eps floor, via rsqrt (axon-safe; see safe_norm)."""
+    import jax
+
+    return x * jax.lax.rsqrt(
+        jnp.sum(x * x, axis=-1, keepdims=True) + eps * eps
+    )
+
+
 def quat_norm(q: jnp.ndarray) -> jnp.ndarray:
-    return jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return safe_norm(q, keepdims=True)
 
 
 def quat_normalize(q: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
-    return q / jnp.maximum(quat_norm(q), eps)
+    return safe_normalize(q, eps)
 
 
 def quat_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -70,7 +88,7 @@ def quat_from_axis_angle(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
 def quat_to_axis_angle(q: jnp.ndarray, eps: float = 1e-8):
     """Returns (axis, angle) with angle in [0, pi]."""
     q = jnp.where(q[..., 0:1] < 0, -q, q)
-    sin_half = jnp.linalg.norm(q[..., 1:4], axis=-1)
+    sin_half = safe_norm(q[..., 1:4])
     angle = 2.0 * jnp.arctan2(sin_half, q[..., 0])
     axis = q[..., 1:4] / jnp.maximum(sin_half[..., None], eps)
     return axis, angle
@@ -156,7 +174,7 @@ def quat_integrate(q: jnp.ndarray, omega: jnp.ndarray, dt) -> jnp.ndarray:
     """
     half = 0.5 * dt
     w = omega * half
-    angle = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    angle = safe_norm(w, keepdims=True)
     # sinc-based for stability near zero.
     small = angle < 1e-8
     k = jnp.where(small, 1.0 - angle * angle / 6.0, jnp.sin(angle) / jnp.where(small, 1.0, angle))

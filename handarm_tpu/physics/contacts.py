@@ -161,9 +161,11 @@ def _one_wall_surface(lo, hi, p):
     """Signed distance + outward normal to a single AABB, gather-free."""
     q = jnp.clip(p, lo, hi)
     d_vec = p - q
-    dist_out = jnp.linalg.norm(d_vec, axis=-1)
-    outside = dist_out > 1e-9
-    n_out = d_vec / jnp.maximum(dist_out[..., None], 1e-9)
+    # axon-safe norm/normalize (see math.quat.safe_norm)
+    d_sq = jnp.sum(d_vec * d_vec, axis=-1)
+    dist_out = jnp.sqrt(d_sq + 1e-20)
+    outside = d_sq > 1e-18
+    n_out = d_vec * jax.lax.rsqrt(d_sq[..., None] + 1e-18)
     # inside: minimum push-out axis, selected with where-chains (argmin /
     # take_along_axis lower to slow TPU gathers in this hot path)
     push_lo = p - lo

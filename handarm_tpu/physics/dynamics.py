@@ -248,7 +248,9 @@ def gyroscopic_delta(
     Iw = inertia_body_diag * w_b
     dw_b = -h * (jnp.cross(w_b, Iw) / jnp.maximum(inertia_body_diag, 1e-12))
     # clamp to a fraction of |w| to avoid energy blow-up in f32 lockstep
-    mag = jnp.linalg.norm(dw_b, axis=-1, keepdims=True)
-    wmag = jnp.linalg.norm(w_b, axis=-1, keepdims=True)
+    from handarm_tpu.math.quat import safe_norm
+
+    mag = safe_norm(dw_b, keepdims=True)
+    wmag = safe_norm(w_b, keepdims=True)
     scale = jnp.minimum(1.0, 0.5 * wmag / jnp.maximum(mag, 1e-9))
     return quat_rotate(quat, dw_b * scale)

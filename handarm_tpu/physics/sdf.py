@@ -9,6 +9,7 @@ analytic trilinear gradients — branch-free, batched, MXU/VPU friendly.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -144,7 +145,7 @@ def sample_sdf_grad(grid, lo, spacing, p, grad_grid=None, eps_vox: float = 0.5):
         out = sample_sdf_channels(field, lo, spacing, p)
         d = out[..., 0]
         g = out[..., 1:4]
-        g = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+        g = g * jax.lax.rsqrt(jnp.sum(g * g, axis=-1, keepdims=True) + 1e-18)
         # out-of-grid excess (see sample_sdf)
         R = grid.shape[0]
         u_raw = (p - lo) / spacing
@@ -163,5 +164,5 @@ def sample_sdf_grad(grid, lo, spacing, p, grad_grid=None, eps_vox: float = 0.5):
             - sample_sdf(grid, lo, spacing, p - dp)
         )
     g = jnp.stack(grads, axis=-1)
-    g = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+    g = g * jax.lax.rsqrt(jnp.sum(g * g, axis=-1, keepdims=True) + 1e-18)
     return d, g

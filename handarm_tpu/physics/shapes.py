@@ -345,7 +345,7 @@ def object_sdf(shapes: ObjectShapes, k_static: int, p_body: jnp.ndarray):
             p_body,
         )
         d, g = out[..., 0], out[..., 1:4]
-        g = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+        g = g * jax.lax.rsqrt(jnp.sum(g * g, axis=-1, keepdims=True) + 1e-18)
         # out-of-grid excess so far points still see increasing distance
         R = shapes.sdf_field.shape[1]
         u_raw = (p_body - shapes.sdf_lo[k_static]) / shapes.sdf_spacing[k_static]
