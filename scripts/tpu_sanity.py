@@ -10,7 +10,10 @@ Usage: python scripts/tpu_sanity.py [--steps 120]
 """
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
