@@ -1016,6 +1016,15 @@ class HandArmEnv:
 
     def reset(self, key) -> tuple[EnvState, jnp.ndarray]:
         state = self._fresh_state(key, self.cfg.num_envs)
+        # stagger the initial episode clocks: with a common start, all envs
+        # time out in LOCKSTEP forever (the whole fleet resets on the same
+        # step), which synchronizes the state distribution across the batch
+        # and starves PPO of early-episode data between reset waves
+        k_prog = jax.random.fold_in(key, 17)
+        prog0 = jax.random.randint(
+            k_prog, (self.cfg.num_envs,), 0, self.cfg.episode_length
+        )
+        state = state._replace(task=state.task._replace(progress=prog0))
         ctx = ObsContext(self, state, None)
         return state, self._compute_obs(ctx, self.active_obs, self.cfg.observations)
 
@@ -1140,7 +1149,26 @@ class HandArmEnv:
         ctx = ObsContext(self, state2, info_last)
         reward, goal_reached, reward_terms = self._compute_reward(ctx)
         goal_reached_before = state2.task.goal_reached_before | goal_reached
-        done = progress >= cfg.episode_length
+        # finite guard: an env whose physics went non-finite (rare tail
+        # events at fleet batch sizes) resets immediately and contributes
+        # zero reward — one bad env must not poison the learner batch
+        # (reference relies on PhysX never returning NaN; we guard instead)
+        finite = (
+            jnp.all(jnp.isfinite(physics.robot.q), axis=-1)
+            & jnp.all(jnp.isfinite(physics.robot.qd), axis=-1)
+            & jnp.all(
+                jnp.isfinite(physics.objects.pos.reshape(B, -1)), axis=-1
+            )
+            & jnp.all(
+                jnp.isfinite(physics.objects.linvel.reshape(B, -1)), axis=-1
+            )
+            & jnp.all(
+                jnp.isfinite(physics.contact_impulse.reshape(B, -1)), axis=-1
+            )
+        )
+        reward = jnp.where(finite & jnp.isfinite(reward), reward, 0.0)
+        goal_reached = goal_reached & finite
+        done = (progress >= cfg.episode_length) | ~finite
         task = task._replace(goal_reached_before=goal_reached_before)
 
         # 4. success-rate EWMA metrics (device-side)

@@ -291,6 +291,25 @@ register_classic(
 )
 
 
+def _anymal_terrain_factory(num_envs, episode_length):
+    from handarm_tpu.envs.anymal_terrain import make_anymal_terrain
+
+    return make_anymal_terrain(
+        num_envs=num_envs,
+        episode_length=episode_length if episode_length != 500 else 1000,
+    )
+
+
+# reference cfg/train/AnymalTerrainPPO.yaml: units [512,256,128], horizon 24,
+# minibatch 16384, gamma 0.99, adaptive kl 0.008
+register_classic(
+    "AnymalTerrain",
+    _anymal_terrain_factory,
+    dict(hidden=(512, 256, 128), horizon=24, minibatch_size=16384,
+         gamma=0.99, kl_threshold=0.008, reward_scale=1.0),
+)
+
+
 def _allegro_kuka_factory(variant):
     def factory(num_envs, episode_length):
         from handarm_tpu.envs.allegro_kuka import make_allegro_kuka

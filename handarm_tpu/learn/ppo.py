@@ -118,10 +118,16 @@ class PPO:
             self.num_minibatches = max(1, batch // cfg.minibatch_size)
         assert batch % self.num_minibatches == 0
         self.mb_size = batch // self.num_minibatches
-        self.optimizer = optax.chain(
-            optax.clip_by_global_norm(cfg.grad_norm),
-            optax.scale_by_adam(eps=1e-8),
-            optax.scale_by_learning_rate(1.0, flip_sign=True),
+        self.optimizer = optax.apply_if_finite(
+            optax.chain(
+                optax.clip_by_global_norm(cfg.grad_norm),
+                optax.scale_by_adam(eps=1e-8),
+                optax.scale_by_learning_rate(1.0, flip_sign=True),
+            ),
+            # a non-finite minibatch gradient (tail physics event slipping
+            # past the env guards) skips that update instead of poisoning
+            # Adam moments + params for the rest of the run
+            max_consecutive_errors=10_000,
         )
 
     # --- init ---------------------------------------------------------------

@@ -45,6 +45,12 @@ class StaticGeom(NamedTuple):
     friction: jnp.ndarray  # scalar
     wall_lo: np.ndarray = np.zeros((0, 3), np.float32)  # [W, 3] AABB corners
     wall_hi: np.ndarray = np.zeros((0, 3), np.float32)  # [W, 3]
+    # optional heightfield terrain (replaces table+plane when set; see
+    # physics/terrain.py — the reference converts heightfields to trimeshes
+    # for PhysX, here contacts sample the field bilinearly)
+    hf_height: jnp.ndarray | None = None  # [R, C] meters
+    hf_cell: float = 0.1  # meters per pixel
+    hf_origin: jnp.ndarray | None = None  # [2] world xy of pixel (0, 0)
 
     @property
     def num_walls(self) -> int:
@@ -146,9 +152,46 @@ def make_contact_slots(
     )
 
 
+def _heightfield_surface(geom: StaticGeom, p: jnp.ndarray):
+    """Signed distance / normal against the bilinear heightfield surface.
+
+    4-tap gather per query point (only robot spheres + object samples
+    query it, so the gather footprint stays small)."""
+    H = geom.hf_height  # [R, C]
+    R, Cc = H.shape
+    u = (p[..., 0] - geom.hf_origin[0]) / geom.hf_cell
+    v = (p[..., 1] - geom.hf_origin[1]) / geom.hf_cell
+    u = jnp.clip(u, 0.0, R - 1.001)
+    v = jnp.clip(v, 0.0, Cc - 1.001)
+    i0 = jnp.floor(u).astype(jnp.int32)
+    j0 = jnp.floor(v).astype(jnp.int32)
+    fu, fv = u - i0, v - j0
+    flat = H.reshape(-1)
+    idx = i0 * Cc + j0
+    h00 = flat[idx]
+    h10 = flat[idx + Cc]
+    h01 = flat[idx + 1]
+    h11 = flat[idx + Cc + 1]
+    h = (
+        h00 * (1 - fu) * (1 - fv)
+        + h10 * fu * (1 - fv)
+        + h01 * (1 - fu) * fv
+        + h11 * fu * fv
+    )
+    dhdx = ((h10 - h00) * (1 - fv) + (h11 - h01) * fv) / geom.hf_cell
+    dhdy = ((h01 - h00) * (1 - fu) + (h11 - h10) * fu) / geom.hf_cell
+    n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(h)], axis=-1)
+    n = n * jax.lax.rsqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
+    dist = (p[..., 2] - h) * n[..., 2]  # vertical gap projected on normal
+    return dist, n
+
+
 def _static_surface(geom: StaticGeom, p: jnp.ndarray):
     """Signed distance of points to the static environment (table box top or
-    ground plane), with upward normal. p: [..., 3] -> (dist, normal)."""
+    ground plane, or the heightfield terrain), with upward normal.
+    p: [..., 3] -> (dist, normal)."""
+    if geom.hf_height is not None:
+        return _heightfield_surface(geom, p)
     xy = p[..., :2]
     in_col = jnp.all((xy >= geom.table_lo) & (xy <= geom.table_hi), axis=-1)
     surf_z = jnp.where(in_col, geom.table_height, 0.0)
