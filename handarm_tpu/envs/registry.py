@@ -291,6 +291,26 @@ register_classic(
 )
 
 
+def _humanoid_amp_factory(num_envs, episode_length):
+    from handarm_tpu.envs.humanoid_amp import make_humanoid_amp
+
+    return make_humanoid_amp(
+        num_envs=num_envs,
+        episode_length=episode_length if episode_length != 500 else 300,
+    )
+
+
+# reference cfg/train/HumanoidAMPPPO.yaml: units [1024,512], horizon 16,
+# minibatch 32768; trained through learn.amp.AMP (style rewards), plain PPO
+# here only covers the task-reward baseline
+register_classic(
+    "HumanoidAMP",
+    _humanoid_amp_factory,
+    dict(hidden=(1024, 512), horizon=16, minibatch_size=32768,
+         gamma=0.99, kl_threshold=0.008, reward_scale=1.0),
+)
+
+
 def _anymal_terrain_factory(num_envs, episode_length):
     from handarm_tpu.envs.anymal_terrain import make_anymal_terrain
 
