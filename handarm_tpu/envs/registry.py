@@ -291,6 +291,32 @@ register_classic(
 )
 
 
+def _factory_factory(task):
+    def factory(num_envs, episode_length):
+        from handarm_tpu.envs.factory import make_factory
+
+        return make_factory(
+            task=task,
+            num_envs=num_envs,
+            episode_length=episode_length if episode_length != 500 else 100,
+        )
+
+    return factory
+
+
+# reference cfg/train/FactoryTaskNutBolt*PPO.yaml: units [256,128,64],
+# horizon 32, gamma 0.99
+for _t, _n in (("pick", "FactoryTaskNutBoltPick"),
+               ("place", "FactoryTaskNutBoltPlace"),
+               ("screw", "FactoryTaskNutBoltScrew")):
+    register_classic(
+        _n,
+        _factory_factory(_t),
+        dict(hidden=(256, 128, 64), horizon=32, minibatch_size=8192,
+             gamma=0.99, kl_threshold=0.016, reward_scale=1.0),
+    )
+
+
 def _humanoid_amp_factory(num_envs, episode_length):
     from handarm_tpu.envs.humanoid_amp import make_humanoid_amp
 

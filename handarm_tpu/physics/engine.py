@@ -130,6 +130,12 @@ class RailSpec(NamedTuple):
     hi: jnp.ndarray  # [K] joint upper limit (m)
     damping: jnp.ndarray  # [K] per-second viscous decay rate (1/s)
     mask: jnp.ndarray  # [K] 1.0 = rail-constrained, 0.0 = free
+    # spin mode (cylindrical joint, world-z axis only): the object keeps
+    # its rotation ABOUT the rail axis (yaw) and its axial translation;
+    # everything else is projected out. Used for nut-on-bolt screw motion
+    # (factory_task_nut_bolt_screw) where the env couples yaw -> axial
+    # travel through the thread pitch. None = all rails are prismatic.
+    spin: jnp.ndarray | None = None  # [K] 1.0 = cylindrical, 0.0 = fixed-quat
 
 
 class Scene(NamedTuple):
@@ -269,9 +275,25 @@ def _apply_rails(scene: Scene, opos, oquat, olv, oav, h):
     v_ax = jnp.where(at_hi, jnp.minimum(v_ax, 0.0), v_ax)
     v_ax = v_ax * jnp.maximum(0.0, 1.0 - h * r.damping[None])
     olv = jnp.where(m_rail, v_ax[..., None] * r.axis[None], olv)
-    oav = jnp.where(m_rail, 0.0, oav)
     opos = jnp.where(m_rail, pos_rail, opos)
-    oquat = jnp.where(m_rail, r.quat[None], oquat)
+    if r.spin is None:
+        oav = jnp.where(m_rail, 0.0, oav)
+        oquat = jnp.where(m_rail, r.quat[None], oquat)
+    else:
+        m_spin = (r.spin[None, :, None] > 0) & m_rail
+        # cylindrical: keep the angular component about the rail axis
+        w_ax = jnp.einsum("bki,ki->bk", oav, r.axis)
+        w_ax = w_ax * jnp.maximum(0.0, 1.0 - h * r.damping[None])
+        oav_spin = w_ax[..., None] * r.axis[None]
+        oav = jnp.where(m_spin, oav_spin, jnp.where(m_rail, 0.0, oav))
+        # quat projected to its rotation about the (world-z) rail axis
+        qw, qz = oquat[..., 0], oquat[..., 3]
+        inv = jax.lax.rsqrt(qw * qw + qz * qz + 1e-12)
+        q_yaw = jnp.stack(
+            [qw * inv, jnp.zeros_like(qw), jnp.zeros_like(qw), qz * inv],
+            axis=-1,
+        )
+        oquat = jnp.where(m_spin, q_yaw, jnp.where(m_rail, r.quat[None], oquat))
     return opos, oquat, olv, oav
 
 

@@ -1,0 +1,75 @@
+"""Factory nut-bolt family (reference tasks/factory/): SDF mesh objects,
+task-space impedance control, cylindrical screw joint."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from handarm_tpu.envs.factory import (
+    BOLT_HEAD_HEIGHT,
+    BOLT_SHANK_LENGTH,
+    TABLE_HEIGHT,
+    THREAD_PITCH,
+    make_factory,
+)
+
+
+def test_factory_pick_spaces_and_rest():
+    env = make_factory(task="pick", num_envs=4)
+    assert env.num_obs == 20 and env.num_actions == 12
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert obs.shape == (4, 20)
+    step = jax.jit(env.step)
+    for _ in range(30):
+        state, res = step(state, jnp.zeros((4, 12)))
+    # nut rests on the table (half height ~8 mm + SDF margin)
+    z = np.asarray(state.physics.objects.pos[:, 0, 2])
+    assert (np.abs(z - TABLE_HEIGHT) < 0.03).all(), z
+    assert bool(jnp.all(jnp.isfinite(res.obs)))
+    # keypoint reward is negative distance: moving the gripper onto the
+    # grasp frame increases reward
+    assert float(res.reward.mean()) < 0.0
+
+
+def test_factory_place_obs_and_gripper_holds_nut():
+    env = make_factory(task="place", num_envs=4)
+    assert env.num_obs == 27
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(1))
+    step = jax.jit(env.step)
+    for _ in range(25):
+        state, res = step(state, jnp.zeros((4, 12)))
+    # the nut spawned in the closed gripper must not fall to the table
+    z = np.asarray(state.physics.objects.pos[:, 0, 2])
+    assert (z > TABLE_HEIGHT + 0.05).all(), z
+
+
+def test_factory_screw_thread_kinematics():
+    """Spinning the nut clockwise descends it by pitch * turns (the
+    cylindrical rail + env thread coupling)."""
+    env = make_factory(task="screw", num_envs=2)
+    assert env.num_obs == 32
+    state, _ = jax.jit(env.reset)(jax.random.PRNGKey(2))
+    step = jax.jit(env.step)
+    z0 = float(state.physics.objects.pos[0, 0, 2])
+    s = state
+    for _ in range(30):
+        s = s._replace(physics=s.physics._replace(
+            objects=s.physics.objects._replace(
+                angvel=s.physics.objects.angvel.at[:, 0, 2].set(-20.0)
+            )
+        ))
+        s, res = step(s, jnp.zeros((2, 12)))
+    z1 = float(s.physics.objects.pos[0, 0, 2])
+    theta = float(s.theta[0])
+    assert theta < -5.0  # it spun
+    expect = np.clip(
+        z0 + THREAD_PITCH * theta / (2 * np.pi),
+        TABLE_HEIGHT + BOLT_HEAD_HEIGHT,
+        TABLE_HEIGHT + BOLT_HEAD_HEIGHT + BOLT_SHANK_LENGTH,
+    )
+    np.testing.assert_allclose(z1, expect, atol=1e-3)
+    # nut stays centered on the bolt axis
+    xy = np.asarray(s.physics.objects.pos[:, 0, :2])
+    np.testing.assert_allclose(xy, np.zeros((2, 2)), atol=1e-4)
