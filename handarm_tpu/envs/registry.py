@@ -317,6 +317,31 @@ for _t, _n in (("pick", "FactoryTaskNutBoltPick"),
     )
 
 
+def _industreal_factory(task):
+    def factory(num_envs, episode_length):
+        from handarm_tpu.envs.industreal import make_industreal
+
+        return make_industreal(
+            task=task,
+            num_envs=num_envs,
+            episode_length=episode_length if episode_length != 500 else 128,
+        )
+
+    return factory
+
+
+# reference cfg/train/IndustRealTask*PPO.yaml: units [256,128,64], asymmetric
+# central value in the reference; plain PPO surface here
+for _t, _n in (("pegs", "IndustRealTaskPegsInsert"),
+               ("gears", "IndustRealTaskGearsInsert")):
+    register_classic(
+        _n,
+        _industreal_factory(_t),
+        dict(hidden=(256, 128, 64), horizon=32, minibatch_size=8192,
+             gamma=0.998, kl_threshold=0.016, reward_scale=0.01),
+    )
+
+
 def _humanoid_amp_factory(num_envs, episode_length):
     from handarm_tpu.envs.humanoid_amp import make_humanoid_amp
 
