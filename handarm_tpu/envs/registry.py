@@ -317,6 +317,25 @@ for _t, _n in (("pick", "FactoryTaskNutBoltPick"),
     )
 
 
+def _dextreme_factory(num_envs, episode_length):
+    from handarm_tpu.envs.dextreme import make_allegro_dextreme
+
+    return make_allegro_dextreme(
+        num_envs=num_envs,
+        episode_length=episode_length if episode_length != 500 else 600,
+    )
+
+
+# reference cfg/train/AllegroHandDextremeADRPPO.yaml (LSTM in the reference;
+# MLP surface here), ADR + RNA wired in the env wrapper
+register_classic(
+    "AllegroHandDextremeADR",
+    _dextreme_factory,
+    dict(hidden=(512, 512, 256, 128), horizon=16, minibatch_size=16384,
+         gamma=0.998, kl_threshold=0.016, reward_scale=0.01),
+)
+
+
 def _industreal_factory(task):
     def factory(num_envs, episode_length):
         from handarm_tpu.envs.industreal import make_industreal

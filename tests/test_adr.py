@@ -91,3 +91,36 @@ def test_adr_runs_on_hand_arm_lift():
         state, res = step(state, jnp.zeros((8, env.num_actions)))
     assert bool(jnp.all(jnp.isfinite(res.obs)))
     assert state.task.adr.values.shape == (8, 4)
+
+
+def test_dextreme_rna_and_adr_wrapper():
+    """AllegroHandDextreme (reference dextreme/allegro_hand_dextreme.py):
+    RNA perturbs actions per-env, ADR ranges widen under forced success."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from handarm_tpu.envs.dextreme import make_allegro_dextreme
+    from handarm_tpu.learn.rna import rna_apply, rna_masks
+
+    env = make_allegro_dextreme(num_envs=8, episode_length=40)
+    s, obs = env.reset(jax.random.PRNGKey(0))
+    # RNA: binned outputs in [-1, 1], different nets (masks) per env
+    a = rna_apply(env.rna_params, s.rna, s.obs)
+    assert a.shape == (8, env.num_actions)
+    assert float(a.min()) >= -1.0 and float(a.max()) <= 1.0
+    assert float(jnp.std(a, axis=0).mean()) > 1e-3  # envs differ
+    # same obs + same masks -> deterministic (fixed random network)
+    a2 = rna_apply(env.rna_params, s.rna, s.obs)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a2))
+
+    step = jax.jit(env.step)
+    # force boundary-worker successes: objective above objective_hi at
+    # every episode end -> ranges must widen
+    for i in range(200):
+        s = s._replace(inner=s.inner._replace(
+            successes=jnp.full(8, 10.0, s.inner.successes.dtype),
+            progress=jnp.full(8, env.cfg.episode_length, jnp.int32),
+        ))
+        s, r = step(s, jnp.zeros((8, env.num_actions)))
+    assert float(r.info["adr_range_width"]) > 0.0, "ADR ranges never widened"
