@@ -67,6 +67,10 @@ class SolverParams(NamedTuple):
     # is then an averaged projection and cannot diverge however many
     # co-aligned contacts push one body (deep-penetration pile-ups)
     speculative_margin: float = 0.02  # activate contacts within this gap
+    # dtype for the heavy prep intermediates (generalized-unit-impulse
+    # chain): "bf16" halves their HBM traffic on TPU; effective masses /
+    # biases / impulses stay f32 either way
+    prep_dtype: str = "f32"
 
 
 class SolverOut(NamedTuple):
@@ -242,9 +246,16 @@ def _prepare(
             [skew(contacts.pos), jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, C, 3, 3))],
             axis=-2,
         )  # [B, C, 6(spatial), 3(dir)]
-        Bc = jnp.einsum("bua,bcai->bcui", fk.screw, f_unit) * anc_slot[None, :, :, None]
-        MinvB = jnp.einsum("buv,bcvi->bcui", Minv, Bc)
-        D = jnp.einsum("bcui,bcuj->bcij", Bc, MinvB)
+        # the [B, C, nv, 3] intermediates are the prep's HBM bottleneck
+        # (~130 MB each at fleet batch); bf16 halves the traffic and the
+        # MXU computes at bf16 regardless (TPU default matmul precision).
+        # D comes back to f32 before d_eff/inv_d, which need the accuracy.
+        pd = jnp.bfloat16 if params.prep_dtype == "bf16" else dtype
+        Bc = jnp.einsum(
+            "bua,bcai->bcui", fk.screw.astype(pd), f_unit.astype(pd)
+        ) * anc_slot[None, :, :, None].astype(pd)
+        MinvB = jnp.einsum("buv,bcvi->bcui", Minv.astype(pd), Bc)
+        D = jnp.einsum("bcui,bcuj->bcij", Bc, MinvB).astype(dtype)
         if params.mode == "gs":
             body_idx = jnp.broadcast_to(jnp.asarray(body_idx_np), (B, C))
             J = point_jacobian(m, fk, body_idx, contacts.pos)

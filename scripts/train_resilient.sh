@@ -1,16 +1,34 @@
 #!/bin/bash
-# Restart-on-crash training wrapper. The remote TPU worker occasionally
-# restarts (tunnel instability); train.py resume=auto picks up from the
-# newest periodic checkpoint in the run dir.
+# Restart-on-crash/hang training wrapper. The remote TPU worker can crash
+# (process exits) or stall (device call never returns); train.py
+# resume=auto picks up from the newest periodic checkpoint either way.
 # Usage: train_resilient.sh <max_restarts> <train.py args...>
 set -u
 MAX_RESTARTS=$1
 shift
 cd "$(dirname "$0")/.."
+STALL_SECS=${STALL_SECS:-420}
 n=0
 while true; do
-  python train.py "$@" resume=auto
+  python train.py "$@" resume=auto &
+  pid=$!
+  # stall monitor: kill the trainer if it stops producing output
+  (
+    while kill -0 "$pid" 2>/dev/null; do
+      sleep 60
+      last=$(date -r /proc/$pid/fd/1 +%s 2>/dev/null || echo 0)
+      now=$(date +%s)
+      if [ "$last" -gt 0 ] && [ $((now - last)) -gt "$STALL_SECS" ]; then
+        echo "[watchdog] trainer $pid stalled >${STALL_SECS}s; killing"
+        kill -9 "$pid" 2>/dev/null
+        break
+      fi
+    done
+  ) &
+  mon=$!
+  wait "$pid"
   rc=$?
+  kill "$mon" 2>/dev/null
   if [ $rc -eq 0 ]; then
     echo "[watchdog] training finished cleanly"
     exit 0
