@@ -248,11 +248,12 @@ class AllegroKukaEnv:
         )
         sq, sp = site_poses(fk, bodies, pos, quat, base_quat=bq, base_pos=bp)
         bv = body_velocities(m, fk, phys.robot.qd)
+        nt = len(self.tip_bodies)  # 4 (single arm) or 8 (two arms)
         palm_w = bv[:, self.palm_site.body, :3]
         palm_v = bv[:, self.palm_site.body, 3:] + jnp.cross(
-            palm_w, sp[:, 4]
+            palm_w, sp[:, nt]
         )
-        return sp[:, :4], sp[:, 4], sq[:, 4], palm_v, palm_w
+        return sp[:, :nt], sp[:, nt], sq[:, nt], palm_v, palm_w
 
     def _active(self, B):
         """Per-env active object slot (env_idx % K, static)."""
@@ -426,10 +427,7 @@ class AllegroKukaEnv:
 
     def step(self, state: AKState, actions):
         cfg = self.cfg
-        B = actions.shape[0]
         actions = jnp.clip(actions, -1.0, 1.0)
-        key, k_goal, k_obj, k_reset = jax.random.split(state.key, 4)
-        slot = self._active(B)
 
         # control (allegro_kuka_base.py:1373-1399): arm relative targets,
         # hand absolute scaled targets with moving average
@@ -446,6 +444,13 @@ class AllegroKukaEnv:
             self.q_lo[None],
             self.q_hi[None],
         )
+        return self._step_with_targets(state, actions, targets)
+
+    def _step_with_targets(self, state: AKState, actions, targets):
+        cfg = self.cfg
+        B = actions.shape[0]
+        key, k_goal, k_obj, k_reset = jax.random.split(state.key, 4)
+        slot = self._active(B)
         phys = state.physics
         phys = phys._replace(robot=phys.robot._replace(targets=targets))
         phys, _ = engine_step(self.scene, phys)
@@ -640,3 +645,265 @@ def make_allegro_kuka(variant="reorientation", num_envs=256,
         variant=variant, num_envs=num_envs, episode_length=episode_length,
         **kw
     ))
+
+
+# --- two-arms variant (reference allegro_kuka_two_arms*.py) -----------------
+
+TWO_ARMS_URDF = "/root/repo/assets/gen/kuka_allegro_two_arms.urdf"
+
+
+def _generate_two_arms_urdf() -> str:
+    """Compose two kuka_allegro arms under one world root (the engine
+    simulates one articulation per scene; the reference spawns two actors).
+    Arms at x = ±armXOfs rotated ∓90° about z to face each other
+    (allegro_kuka_two_arms.py:598-610). Mesh paths are rewritten absolute."""
+    import os
+    import re
+    import xml.etree.ElementTree as ET
+
+    if os.path.exists(TWO_ARMS_URDF):
+        return TWO_ARMS_URDF
+    tree = ET.parse(KUKA_ALLEGRO_URDF)
+    src = tree.getroot()
+    mesh_root = os.path.dirname(os.path.dirname(KUKA_ALLEGRO_URDF))
+
+    robot = ET.Element("robot", name="kuka_allegro_two_arms")
+    ET.SubElement(robot, "link", name="world_root")
+    for a, (x_ofs, yaw) in enumerate(((-1.1, 1.5707963), (1.1, -1.5707963))):
+        prefix = f"a{a}_"
+        roots = set()
+        children = set()
+        for el in src:
+            el2 = ET.fromstring(ET.tostring(el))
+            if el2.tag not in ("link", "joint"):
+                continue
+            el2.set("name", prefix + el2.get("name"))
+            for sub in el2.iter():
+                if sub.tag in ("parent", "child") and sub.get("link"):
+                    sub.set("link", prefix + sub.get("link"))
+                    (children if sub.tag == "child" else roots).add(
+                        sub.get("link")
+                    )
+                if sub.tag == "mesh" and sub.get("filename"):
+                    fn = sub.get("filename")
+                    if not os.path.isabs(fn):
+                        sub.set(
+                            "filename",
+                            os.path.normpath(os.path.join(mesh_root, fn)),
+                        )
+            robot.append(el2)
+        base_link = prefix + "iiwa7_base_link"
+        j = ET.SubElement(robot, "joint", name=f"{prefix}mount", type="fixed")
+        ET.SubElement(j, "parent", link="world_root")
+        ET.SubElement(j, "child", link=base_link)
+        ET.SubElement(j, "origin", xyz=f"{x_ofs} 0 0", rpy=f"0 0 {yaw}")
+    os.makedirs(os.path.dirname(TWO_ARMS_URDF), exist_ok=True)
+    ET.ElementTree(robot).write(TWO_ARMS_URDF)
+    return TWO_ARMS_URDF
+
+
+class AllegroKukaTwoArmsEnv(AllegroKukaEnv):
+    """Two mirrored kuka+allegro arms manipulate one larger object
+    (reference allegro_kuka_two_arms_reorientation/_regrasping.py). The
+    DexPBT reward machinery is inherited; fingertip terms cover all 8
+    fingers, actions are 46 (2 x 23)."""
+
+    def __init__(self, cfg: AllegroKukaConfig = AllegroKukaConfig()):
+        urdf = _generate_two_arms_urdf()
+        art = compile_urdf(urdf)
+        self.art = art
+        self.cfg = cfg
+        nv = art.nv  # 46
+
+        objs = [make_box_object(list(h), mass=0.5)
+                for h in cfg.object_halves]
+        shapes = stack_objects(objs)
+        self.K = len(objs)
+        self.obj_halves = jnp.asarray(np.array(cfg.object_halves, np.float32))
+        geom = StaticGeom(
+            # table centered at origin (two_arms table_pose dy=0)
+            table_lo=jnp.asarray([-TABLE_HALF[0], -TABLE_HALF[1]]),
+            table_hi=jnp.asarray([TABLE_HALF[0], TABLE_HALF[1]]),
+            table_height=jnp.asarray(TABLE_TOP),
+            friction=jnp.asarray(1.0),
+        )
+        spheres = make_generic_spheres(urdf, art, spheres_per_link=2)
+        kp = np.full(nv, 40.0)
+        kd = np.full(nv, 5.0)
+        self.scene = build_scene(
+            art, shapes, spheres, geom,
+            kp=kp, kd=kd,
+            base_pos=(0.0, 0.0, 0.0),
+            base_quat=(1.0, 0.0, 0.0, 0.0),
+            params=SimParams(
+                dt=cfg.dt, substeps=cfg.substeps,
+                solver=SolverParams(iterations=8),
+                robot_gravity=False,
+            ),
+        )
+        self.q_lo = jnp.asarray(art.q_min, jnp.float32)
+        self.q_hi = jnp.asarray(art.q_max, jnp.float32)
+        tips = [f"a{a}_{t}" for a in (0, 1) for t in FINGERTIPS]
+        self.tip_bodies = np.array([art.sites[t].body for t in tips])
+        self.tip_pos = jnp.stack([
+            jnp.asarray(art.sites[t].pos)
+            + jnp.asarray(FINGERTIP_OFFSETS[i % 4])
+            for i, t in enumerate(tips)
+        ])
+        self.tip_quat = jnp.stack(
+            [jnp.asarray(art.sites[t].quat) for t in tips]
+        )
+        self.palm_site = art.sites["a0_palm_link"]
+        dq = np.zeros(nv, np.float32)
+        dq[:7] = DEFAULT_KUKA
+        dq[23:30] = DEFAULT_KUKA
+        self.default_q = jnp.asarray(np.clip(dq, art.q_min, art.q_max))
+        if cfg.variant == "reorientation":
+            self.kp_offsets = jnp.asarray(np.array(
+                [[1, 1, 1], [1, 1, -1], [-1, -1, 1], [-1, -1, -1]], np.float32
+            ))
+        else:
+            self.kp_offsets = jnp.asarray(np.zeros((1, 3), np.float32))
+        self.num_keypoints = int(self.kp_offsets.shape[0])
+        self.num_actions = nv
+        nk = self.num_keypoints
+        # full_state (two_arms:196-221 analog): 8 fingertips instead of 4
+        self.num_obs = (
+            nv + nv + 3 + 10 + 10 + 24 + nk * 3 + nk * 3 + 3 + 1 + 1 + 2
+            + 8 + 1
+        )
+        self.num_teacher_obs = 0
+        self.obs_slices = {"obs": (0, self.num_obs)}
+
+    # object spawn: over the CENTER table (arms at ±x)
+    def _object_reset_pose(self, key, B, slot):
+        cfg = self.cfg
+        kp_, kq = jax.random.split(key)
+        noise = jax.random.uniform(
+            kp_, (B, 3), minval=-1.0, maxval=1.0
+        ) * jnp.asarray(cfg.reset_position_noise)
+        pos = jnp.asarray([0.0, 0.0, TABLE_TOP + 0.25]) + noise
+        v = jax.random.normal(kq, (B, 4))
+        return pos, v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+    def _park_positions(self, B, slot):
+        ks = jnp.arange(self.K, dtype=jnp.float32)
+        px = -TABLE_HALF[0] + 0.08 + 0.16 * ks
+        py = jnp.full((self.K,), TABLE_HALF[1] - 0.06)
+        pz = TABLE_TOP + self.obj_halves[:, 2] + 0.002
+        park = jnp.stack([px, py, pz], -1)
+        return jnp.broadcast_to(park, (B, self.K, 3))
+
+    def _fresh(self, key, B):
+        cfg = self.cfg
+        k1, k2, k3, k4, k_next = jax.random.split(key, 5)
+        slot = self._active(B)
+        u = jax.random.uniform(k1, (B, self.art.nv))
+        delta = self.q_lo[None] + u * (self.q_hi - self.q_lo)[None]
+        coeff = np.zeros(self.art.nv, np.float32)
+        coeff[:7] = cfg.reset_dof_pos_noise_arm
+        coeff[7:23] = cfg.reset_dof_pos_noise_fingers
+        coeff[23:30] = cfg.reset_dof_pos_noise_arm
+        coeff[30:] = cfg.reset_dof_pos_noise_fingers
+        q0 = self.default_q[None] + jnp.asarray(coeff)[None] * (
+            delta - self.default_q[None]
+        )
+        q0 = jnp.clip(q0, self.q_lo[None], self.q_hi[None])
+        phys = initial_state(self.scene, B, q0=q0)
+        qd0 = cfg.reset_dof_vel_noise * jax.random.uniform(
+            k2, (B, self.art.nv), minval=-1.0, maxval=1.0
+        )
+        opos = self._park_positions(B, slot)
+        obj_pos, obj_quat = self._object_reset_pose(k3, B, slot)
+        opos = opos.at[jnp.arange(B), slot].set(obj_pos)
+        oquat = phys.objects.quat.at[jnp.arange(B), slot].set(obj_quat)
+        phys = phys._replace(
+            robot=phys.robot._replace(qd=qd0, targets=q0),
+            objects=phys.objects._replace(pos=opos, quat=oquat),
+        )
+        goal_pos, goal_quat = self._sample_goal(k4, B)
+        # goal volume centered over the shared table
+        goal_pos = goal_pos * jnp.asarray([1.0, 1.0, 1.0]) - jnp.asarray(
+            [0.0, 0.05, 0.0]
+        )
+        z = jnp.zeros(B)
+        return AKState(
+            physics=phys, targets=q0,
+            progress=jnp.zeros(B, jnp.int32),
+            actions=jnp.zeros((B, self.num_actions)),
+            goal_pos=goal_pos, goal_quat=goal_quat,
+            lifted=jnp.zeros(B, bool),
+            obj_init_z=obj_pos[:, 2],
+            closest_kp_dist=jnp.full(B, 1e6),
+            closest_fingertip_dist=jnp.full((B, 8), -1.0),
+            furthest_hand_dist=jnp.full(B, -1.0),
+            near_goal_steps=jnp.zeros(B, jnp.int32),
+            successes=jnp.zeros(B, jnp.int32),
+            success_ewma=jnp.zeros(()),
+            tolerance=jnp.asarray(cfg.success_tolerance),
+            frames_since_curriculum=jnp.zeros((), jnp.int32),
+            last_reward=z, key=k_next,
+        )
+
+    def _obs(self, s):
+        cfg = self.cfg
+        phys = s.physics
+        B = phys.robot.q.shape[0]
+        slot = self._active(B)
+        tips, palm_p, palm_q, palm_v, palm_w = self._hand(phys)
+        opos, oquat, olin, oang = self._obj_state(phys, slot)
+        obj_kp = self._keypoints(opos, oquat, slot)
+        goal_kp = self._keypoints(s.goal_pos, s.goal_quat, slot)
+        max_kp = jnp.max(jnp.linalg.norm(obj_kp - goal_kp, axis=-1), axis=-1)
+        tip_rel = (tips - opos[:, None]).reshape(B, 24)
+        half = self.obj_halves[slot]
+        progress = s.progress.astype(jnp.float32)
+        obs = jnp.concatenate([
+            phys.robot.q, phys.robot.qd, palm_p, palm_q, palm_v, palm_w,
+            oquat, olin, oang, tip_rel,
+            (obj_kp - goal_kp).reshape(B, -1),
+            goal_kp.reshape(B, -1) - jnp.tile(opos, (1, self.num_keypoints)),
+            half * 2.0, max_kp[:, None],
+            s.lifted.astype(jnp.float32)[:, None],
+            (progress / cfg.episode_length)[:, None],
+            jnp.broadcast_to(s.tolerance, (B,))[:, None],
+            s.closest_fingertip_dist, s.last_reward[:, None],
+        ], axis=-1)
+        return jnp.clip(obs, -10.0, 10.0)
+
+    def step(self, state, actions):
+        # arm blocks: [0:7] arm0 rel, [7:23] hand0 abs, [23:30] arm1 rel,
+        # [30:46] hand1 abs — reuse the base control law per block
+        cfg = self.cfg
+        B = actions.shape[0]
+        actions = jnp.clip(actions, -1.0, 1.0)
+
+        def mixed_targets(prev, act):
+            t = prev
+            for a0, h0 in ((0, 7), (23, 30)):
+                arm = prev[:, a0:a0 + 7] + cfg.dof_speed_scale * cfg.dt * act[:, a0:a0 + 7]
+                hand_scaled = self.q_lo[h0:h0 + 16][None] + 0.5 * (
+                    act[:, h0:h0 + 16] + 1.0
+                ) * (self.q_hi[h0:h0 + 16] - self.q_lo[h0:h0 + 16])[None]
+                hand = (
+                    cfg.act_moving_average * hand_scaled
+                    + (1 - cfg.act_moving_average) * prev[:, h0:h0 + 16]
+                )
+                t = t.at[:, a0:a0 + 7].set(arm).at[:, h0:h0 + 16].set(hand)
+            return jnp.clip(t, self.q_lo[None], self.q_hi[None])
+
+        targets = mixed_targets(state.targets, actions)
+        # delegate the rest of the step to the shared DexPBT machinery by
+        # temporarily using the base class with precomputed targets
+        return self._step_with_targets(state, actions, targets)
+
+
+def make_allegro_kuka_two_arms(variant="reorientation", num_envs=256,
+                               episode_length=600, **kw):
+    cfg = AllegroKukaConfig(
+        variant=variant, num_envs=num_envs, episode_length=episode_length,
+        object_halves=((0.05, 0.05, 0.05), (0.0625, 0.0625, 0.0625),
+                       (0.125, 0.025, 0.025)),
+        **kw,
+    )
+    return AllegroKukaTwoArmsEnv(cfg)

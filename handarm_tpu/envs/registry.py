@@ -428,6 +428,31 @@ for _variant, _name in (
     )
 
 
+def _allegro_kuka_two_arms_factory(variant):
+    def factory(num_envs, episode_length):
+        from handarm_tpu.envs.allegro_kuka import make_allegro_kuka_two_arms
+
+        return make_allegro_kuka_two_arms(
+            variant=variant,
+            num_envs=num_envs,
+            episode_length=episode_length if episode_length != 500 else 600,
+        )
+
+    return factory
+
+
+for _variant, _name in (
+    ("reorientation", "AllegroKukaTwoArmsReorientation"),
+    ("regrasping", "AllegroKukaTwoArmsRegrasping"),
+):
+    register_classic(
+        _name,
+        _allegro_kuka_two_arms_factory(_variant),
+        dict(hidden=(768, 512, 256), horizon=16, minibatch_size=32768,
+             gamma=0.99, kl_threshold=0.016, reward_scale=0.01),
+    )
+
+
 def _franka_cabinet_factory(num_envs, episode_length):
     from handarm_tpu.envs.franka_cabinet import make_franka_cabinet
 

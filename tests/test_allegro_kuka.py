@@ -81,3 +81,39 @@ def test_allegro_kuka_regrasp_returns_object_to_table():
     # back near the start zone on the table, not at the (aerial) goal
     assert (np.abs(opos[:, 2] - 0.63) < 0.1).all(), opos[:, 2]
     assert not bool(s2.lifted.any())
+
+
+def test_allegro_kuka_two_arms_spaces_and_rest():
+    """Two mirrored arms over one table (reference
+    allegro_kuka_two_arms.py:598-625): 46 dofs, composite URDF, object
+    rests on the shared table."""
+    from handarm_tpu.envs.allegro_kuka import make_allegro_kuka_two_arms
+
+    env = make_allegro_kuka_two_arms(num_envs=4)
+    assert env.art.nv == 46 and env.num_actions == 46
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert obs.shape == (4, env.num_obs)
+    # the two arm bases face each other at x = +-1.1 (FK sanity)
+    from handarm_tpu.physics.kinematics import forward_kinematics, site_poses
+    m = env.scene.model
+    bq = jnp.broadcast_to(env.scene.base_quat, (4, 4))
+    bp = jnp.broadcast_to(env.scene.base_pos, (4, 3))
+    fk = forward_kinematics(m, state.physics.robot.q, bq, bp)
+    pos = {}
+    for name in ("a0_iiwa7_link_0", "a1_iiwa7_link_0"):
+        st = env.art.sites[name]
+        _, sp = site_poses(
+            fk, np.array([st.body]), jnp.asarray(st.pos)[None],
+            jnp.asarray(st.quat)[None], base_quat=bq, base_pos=bp,
+        )
+        pos[name] = np.asarray(sp[0, 0])
+    assert pos["a0_iiwa7_link_0"][0] < -1.0
+    assert pos["a1_iiwa7_link_0"][0] > 1.0
+    step = jax.jit(env.step)
+    for _ in range(40):
+        state, res = step(state, jnp.zeros((4, 46)))
+    slot = np.asarray(env._active(4))
+    opos = np.asarray(state.physics.objects.pos[np.arange(4), slot])
+    half = np.asarray(env.obj_halves)[slot]
+    assert (np.abs(opos[:, 2] - (0.53 + half[:, 2])) < 0.05).all(), opos[:, 2]
+    assert bool(jnp.all(jnp.isfinite(res.obs)))
