@@ -119,6 +119,7 @@ class HandArmConfig:
     servo_smoothing_alpha: float = 0.8
     # solver
     solver_iterations: int = 8
+    solver_prep_dtype: str = "f32"  # "bf16" halves prep HBM traffic on TPU
     hand_only_collision: bool = True
     # randomization (object disturbance forces,
     # reference Ur5SihMultiObjectManipulation.yaml randomization_params;
@@ -455,6 +456,7 @@ class HandArmEnv:
                     # resistance (PhysX's patch manifolds give it
                     # implicitly); without it a tapped sphere never stops
                     rolling_friction=cfg.rolling_friction,
+                    prep_dtype=cfg.solver_prep_dtype,
                 ),
                 # reference disables gravity on the robot asset
                 # (base/ur5sih.py:176, base/stretch.py:148): the 120/20 PD
