@@ -223,10 +223,6 @@ def _prepare(
     # margin participate; non-penetrating ones get a gap-closing bias that
     # lets them approach at exactly gap/h — no tunneling at impact speed.
     active = (contacts.depth > -params.speculative_margin).astype(dtype)
-    n = contacts.normal
-    t1, t2 = _tangent_basis(n)
-    basis = jnp.stack([n, t1, t2], axis=2)
-
 
     has_robot = slots.robot_body >= 0
     body_idx_np = np.where(has_robot, slots.robot_body, 0)
@@ -236,33 +232,54 @@ def _prepare(
     ).astype(dtype)  # [C, nv]
     robot_mask = jnp.asarray(has_robot, dtype)
 
+    n = contacts.normal
+    t1, t2 = _tangent_basis(n)
+    basis = jnp.stack([n, t1, t2], axis=2)  # [B, C, 3(dir), 3]
+
     J = MinvJT = None
+    pd = jnp.bfloat16 if params.prep_dtype == "bf16" else dtype
     if has_robot.any():
-        # generalized unit-impulse columns: B_c[u, i] = anc * screw_u . (p x e_i, e_i)
-        # (a per-body 6x6 Delassus-block formulation was tried and measured
-        # slower on TPU — the [B,C,6,6] gather materialization costs more
-        # than this chain)
-        f_unit = jnp.concatenate(
-            [skew(contacts.pos), jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, C, 3, 3))],
-            axis=-2,
-        )  # [B, C, 6(spatial), 3(dir)]
-        # the [B, C, nv, 3] intermediates are the prep's HBM bottleneck
-        # (~130 MB each at fleet batch); bf16 halves the traffic and the
-        # MXU computes at bf16 regardless (TPU default matmul precision).
-        # D comes back to f32 before d_eff/inv_d, which need the accuracy.
-        pd = jnp.bfloat16 if params.prep_dtype == "bf16" else dtype
-        Bc = jnp.einsum(
-            "bua,bcai->bcui", fk.screw.astype(pd), f_unit.astype(pd)
-        ) * anc_slot[None, :, :, None].astype(pd)
-        MinvB = jnp.einsum("buv,bcvi->bcui", Minv.astype(pd), Bc)
-        D = jnp.einsum("bcui,bcuj->bcij", Bc, MinvB).astype(dtype)
+        # robot contribution to the per-direction effective masses:
+        #   d_eff[c, d] = v_d^T Minv v_d with v_d[u] = anc * screw_u . (p x w_d, w_d)
+        # Computed directly — the full 3x3 Delassus blocks D/DB that an
+        # earlier version built cost ~25 ms/step at fleet batch because
+        # XLA lowers the tiny per-slot 3x3 contractions as micro-GEMMs;
+        # the jacobi sweep only ever reads the DIAGONAL. v reduces to a
+        # pure cross-product broadcast:
+        #   screw . (p x w, w) = (screw_ang x p + screw_lin) . w
+        sa = fk.screw[..., :3]  # [B, nv, 3] angular part
+        sl = fk.screw[..., 3:]
+        arm = (
+            jnp.cross(sa[:, None], contacts.pos[:, :, None]) + sl[:, None]
+        ) * anc_slot[None, :, :, None]  # [B, C, nv, 3]
+        # v[b,c,u,d] = arm . w_d  (elementwise mul-sum over the 3-axis;
+        # einsum here would again become a micro-GEMM)
+        v = jnp.sum(
+            arm[:, :, :, None, :].astype(pd)
+            * basis[:, :, None, :, :].astype(pd),
+            axis=-1,
+        )  # [B, C, nv, 3(dir)]
+        # the one real GEMM: [B, nv, nv] @ [B, nv, C*3]
+        Minv_v = jnp.einsum(
+            "buv,bcvd->bcud", Minv.astype(pd), v
+        )
+        d_robot = jnp.sum(v * Minv_v, axis=2).astype(dtype)  # [B, C, 3]
         if params.mode == "gs":
             body_idx = jnp.broadcast_to(jnp.asarray(body_idx_np), (B, C))
             J = point_jacobian(m, fk, body_idx, contacts.pos)
             J = J * robot_mask[None, :, None, None]
-            MinvJT = MinvB  # [B, C, nv, 3]
+            # gs sweeps need Minv J^T columns in the cartesian frame
+            f_unit = jnp.concatenate(
+                [skew(contacts.pos),
+                 jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, C, 3, 3))],
+                axis=-2,
+            )
+            Bc = jnp.einsum("bua,bcai->bcui", fk.screw, f_unit) * anc_slot[
+                None, :, :, None
+            ]
+            MinvJT = jnp.einsum("buv,bcvi->bcui", Minv, Bc)
     else:
-        D = jnp.zeros((B, C, 3, 3), dtype)
+        d_robot = jnp.zeros((B, C, 3), dtype)
         if params.mode == "gs":
             J = jnp.zeros((B, C, 3, nv), dtype)
             MinvJT = jnp.zeros((B, C, nv, 3), dtype)
@@ -270,7 +287,7 @@ def _prepare(
     if K:
         Iinv_w = free_body_inv_inertia_world(obj_quat, shapes.inertia_diag)
 
-    eye3 = jnp.eye(3, dtype=dtype)
+    d_eff_obj_acc = jnp.zeros((B, C, 3), dtype)
     sides = {}
     for side, idx_arr, sign in (("a", slots.obj_a, 1.0), ("b", slots.obj_b, -1.0)):
         has = idx_arr >= 0
@@ -286,19 +303,21 @@ def _prepare(
             invm_c = invm_c / ms
             Iinv_c = Iinv_c / ms[..., None, None]
         mask = jnp.asarray(has, dtype)
-        rx = skew(r)
-        D_obj = invm_c[..., None, None] * eye3 + jnp.einsum(
-            "bcji,bcjk,bckl->bcil", rx, Iinv_c, rx
-        )
-        D = D + D_obj * mask[None, :, None, None]
+        # object contribution per direction:
+        #   w_d^T (1/m I + rx^T Iinv rx) w_d = 1/m + (r x w_d)^T Iinv (r x w_d)
+        cr = jnp.cross(r[:, :, None, :], basis)  # [B, C, 3(dir), 3]
+        Icr = jnp.sum(
+            Iinv_c[:, :, None, :, :] * cr[:, :, :, None, :], axis=-1
+        )  # [B, C, 3(dir), 3] = Iinv @ cr per direction
+        d_obj = invm_c[..., None] + jnp.sum(cr * Icr, axis=-1)  # [B, C, 3]
+        d_eff_obj_acc = d_eff_obj_acc + d_obj * mask[None, :, None]
         onehot = np.zeros((C, K), np.float32)
         onehot[np.arange(C)[has], idx_arr[has]] = 1.0
         sides[side] = (
             kidx, r, Iinv_c, invm_c, mask, sign, jnp.asarray(onehot, dtype)
         )
 
-    DB = jnp.einsum("bcdi,bcij,bcej->bcde", basis, D, basis)
-    d_eff = jnp.maximum(jnp.einsum("bcdd->bcd", DB), 1e-8)
+    d_eff = jnp.maximum(d_robot + d_eff_obj_acc, 1e-8)
     inv_d = active[..., None] / d_eff
 
     bias = jnp.where(
