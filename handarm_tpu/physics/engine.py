@@ -65,6 +65,13 @@ class SimParams(NamedTuple):
     # base/ur5sih.py:176, base/stretch.py:148, so the weak reference PD
     # gains hold pose without sagging). Floating-base locomotion keeps it.
     robot_gravity: bool = True
+    # contact-generation cadence under shared_prep. False (default) is the
+    # PhysX TGS idiom: narrowphase once per sim step, substeps advance the
+    # stored penetration from post-solve relative normal velocity at frozen
+    # anchors — this removes all per-substep SDF queries (the multi-object
+    # hot spot). True regenerates contacts every substep (more accurate
+    # geometry refresh; used by tight physics tests).
+    substep_contacts: bool = False
 
 
 class RobotState(NamedTuple):
@@ -486,6 +493,12 @@ def step(
     )
     bias_acc = dyn.solve(dyn.bias)
 
+    if not p.substep_contacts:
+        return _step_anchored(
+            scene, state, ovr, fk0, dyn, contacts0, prep0, bias_acc,
+            kp, kd, g_obj,
+        )
+
     def sub(carry, it):
         q, qd, opos, oquat, olin, oang, lam, bq, bp, screw = carry
         # light, per substep: fresh geometry against frozen mass terms.
@@ -563,6 +576,140 @@ def step(
         obj_contact_force=jnp.einsum("bci,ck->bki", -f_slot, scene.slot_to_obj),
         max_penetration=jnp.max(depths[-1], axis=-1, initial=0.0),
     )
+    new_state = PhysicsState(
+        robot=RobotState(
+            q=q, qd=qd, targets=targets,
+            base_pos=base_pos_f, base_quat=base_quat_f, tau_ext=rob.tau_ext,
+        ),
+        objects=ObjectState(pos=opos, quat=oquat, linvel=olin, angvel=oang),
+        contact_impulse=lam,
+    )
+    return new_state, info
+
+
+def _step_anchored(scene, state, ovr, fk0, dyn, contacts0, prep0, bias_acc,
+                   kp, kd, g_obj):
+    """Substep loop with the contact set frozen at step start (PhysX TGS
+    narrowphase cadence). Penetration depths advance from the post-solve
+    relative normal velocity at the anchors; normals, tangent bases,
+    friction, activity masks and effective masses stay from `prep0`. No
+    SDF queries or FK propagation inside the substep loop."""
+    from handarm_tpu.math.quat import quat_integrate
+    from handarm_tpu.physics.solver import (
+        _carry_split, _rel_velocity, solve_prepared)
+
+    m = scene.model
+    p = scene.params
+    h = p.dt / p.substeps
+    rob = state.robot
+    targets = rob.targets
+    q, qd = rob.q, rob.qd
+    opos, oquat, olin, oang = state.objects
+    if m.floating:
+        bpos0, bquat0 = rob.base_pos, rob.base_quat
+    else:
+        bpos0 = jnp.broadcast_to(scene.base_pos[None], (q.shape[0], 3))
+        bquat0 = jnp.broadcast_to(scene.base_quat[None], (q.shape[0], 4))
+    B, C = contacts0.depth.shape
+    # thread prep/normals through the scan carry 2D-flattened — see
+    # solver._carry_split for the TPU layout hazard this avoids. Small
+    # scenes stay closed over (remat-into-body fuses and is faster there).
+    from handarm_tpu.physics.solver import CARRY_THREAD_MIN_SLOTS
+
+    if C >= CARRY_THREAD_MIN_SLOTS:
+        prep_leaves0, rebuild_prep = _carry_split(prep0)
+    else:
+        prep_leaves0, rebuild_prep = (), lambda _: prep0
+    n0_flat0 = contacts0.normal.reshape(B, C * 3)
+
+    def sub(carry, it):
+        (q, qd, opos, oquat, olin, oang, lam, depth, bpos, bquat,
+         prep_leaves, n0_flat) = carry
+        prep0 = rebuild_prep(prep_leaves)
+        n0 = n0_flat.reshape(B, C, 3)
+        bias = jnp.where(
+            depth >= 0.0,
+            jnp.minimum(
+                p.solver.baumgarte / h
+                * jnp.maximum(depth - p.solver.slop, 0.0),
+                p.solver.max_depenetration_vel,
+            ),
+            depth / h,
+        )
+        prep = prep0._replace(bias=bias)
+        tau = stable_pd_torque(q, qd, targets, kp, kd, h, m.effort_limit)
+        if rob.tau_ext is not None:
+            tau = tau + rob.tau_ext
+        qd_free = qd - h * bias_acc + h * dyn.solve(tau)
+        olin_free = olin * (1.0 - h * p.obj_linear_damping) + h * g_obj
+        oang_free = oang * (1.0 - h * p.obj_angular_damping) + gyroscopic_delta(
+            oquat, scene.shapes.inertia_diag, oang, h
+        )
+        out = solve_prepared(prep, qd_free, olin_free, oang_free, p.solver, lam)
+        qd_new = jnp.clip(out.qd, -m.velocity_limit, m.velocity_limit)
+        if m.floating:
+            qd_new = _clamp_base_velocity(m, qd_new, bpos, p)
+        q_new = q + h * qd_new
+        low = m.q_min + p.joint_limit_margin
+        high = m.q_max - p.joint_limit_margin
+        below, above = q_new < low, q_new > high
+        q_new = jnp.clip(q_new, low, high)
+        qd_new = jnp.where(below, jnp.maximum(qd_new, 0.0), qd_new)
+        qd_new = jnp.where(above, jnp.minimum(qd_new, 0.0), qd_new)
+        olv, oav = _cap_contact_gain(
+            out.obj_linvel, olin_free, out.obj_angvel, oang_free,
+            scene.shapes, p.solver,
+        )
+        olv = jnp.clip(olv, -p.max_obj_linvel, p.max_obj_linvel)
+        oav = jnp.clip(oav, -p.max_obj_angvel, p.max_obj_angvel)
+        if p.solver.rolling_friction > 0.0 and scene.shapes.num_objects:
+            oav = _rolling_resistance(
+                oav, out.impulse, n0, scene.slot_to_obj,
+                scene.shapes.inertia_diag, p.solver.rolling_friction,
+            )
+        opos_new, oquat_new = free_body_integrate(opos, oquat, olv, oav, h)
+        if scene.rails is not None:
+            opos_new, oquat_new, olv, oav = _apply_rails(
+                scene, opos_new, oquat_new, olv, oav, h
+            )
+        # TGS anchor advance: separating motion along the frozen normal
+        # reduces penetration (vrel = A side minus B side)
+        vrel = _rel_velocity(prep, qd_new, olv, oav)
+        depth_new = depth - h * jnp.sum(vrel * n0, axis=-1)
+        if m.floating:
+            v_o, w = qd_new[:, 0:3], qd_new[:, 3:6]
+            bpos_new = bpos + h * (v_o + jnp.cross(w, bpos))
+            bquat_new = quat_integrate(bquat, w, h)
+            q_new = q_new.at[:, :6].set(0.0)
+        else:
+            bpos_new, bquat_new = bpos, bquat
+        return (
+            q_new, qd_new, opos_new, oquat_new, olv, oav,
+            out.impulse, depth_new, bpos_new, bquat_new,
+            prep_leaves, n0_flat,
+        ), None
+
+    carry = (
+        q, qd, opos, oquat, olin, oang, state.contact_impulse,
+        contacts0.depth, bpos0, bquat0, prep_leaves0, n0_flat0,
+    )
+    (q, qd, opos, oquat, olin, oang, lam, depth, bpos_f, bquat_f, _, _), _ = (
+        jax.lax.scan(sub, carry, None, length=p.substeps)
+    )
+
+    f_slot = lam / h
+    info = StepInfo(
+        body_contact_force=jnp.einsum(
+            "bci,cn->bni", f_slot, scene.slot_to_body),
+        obj_contact_force=jnp.einsum(
+            "bci,ck->bki", -f_slot, scene.slot_to_obj),
+        max_penetration=jnp.max(
+            jnp.maximum(depth, 0.0), axis=-1, initial=0.0),
+    )
+    if m.floating:
+        base_pos_f, base_quat_f = bpos_f, bquat_f
+    else:
+        base_pos_f, base_quat_f = rob.base_pos, rob.base_quat
     new_state = PhysicsState(
         robot=RobotState(
             q=q, qd=qd, targets=targets,

@@ -460,24 +460,71 @@ def _project(prep: _Prep, lam, v):
     return jnp.stack([new_n, ft1 * scale, ft2 * scale], axis=-1)
 
 
+# contact-slot count above which solver invariants are threaded through
+# scan carries instead of closed over. Small scenes (lift: C=80) are FASTER
+# closed over: XLA fuses the cheap prep producers straight into the sweep
+# body and never materializes the [B, C, ...] tensors at all. Large scenes
+# (multi-object: C=372) are the opposite: rematerializing SDF-fed prep
+# every sweep costs ~5 ms/sweep, so the tensors must be pinned in the carry.
+CARRY_THREAD_MIN_SLOTS = 160
+
+
+def _carry_split(prep: _Prep):
+    """Partition prep into (2D-flattened device-array leaves, rebuild fn).
+
+    TPU layout hazard: when prep is produced inside the same jit as the
+    sweep loop (the whole-env-step graph), XLA assigns tile-padded layouts
+    to >2D tensors that live across the loop boundary — e.g.
+    f32[B, C, 3, 3] gets {3,2,1,0:T(4,128)}, padding the (3, 3) minor to
+    (4, 128), a ~42x physical blowup re-read every sweep (measured 4.8
+    ms/sweep vs 0.7 ms at multi-object scale, B=1024 C=372). Flattening
+    every leaf to [dim0, -1] before the scan keeps the minor dimension
+    large and the layout compact; the body reshapes back (a free
+    view inside fusions). Static leaves (numpy index arrays, python
+    scalars) stay closed over so static indexing survives."""
+    leaves, treedef = jax.tree_util.tree_flatten(prep)
+    is_dyn = [isinstance(x, jax.Array) for x in leaves]
+    shapes = [x.shape if d else None for x, d in zip(leaves, is_dyn)]
+    dyn = tuple(
+        x.reshape(x.shape[0], -1) if x.ndim > 2 else x
+        for x, d in zip(leaves, is_dyn) if d
+    )
+
+    def rebuild(dyn_leaves):
+        it = iter(dyn_leaves)
+        merged = [
+            next(it).reshape(s) if d else x
+            for x, d, s in zip(leaves, is_dyn, shapes)
+        ]
+        return jax.tree_util.tree_unflatten(treedef, merged)
+
+    return dyn, rebuild
+
+
 def _solve_jacobi(prep: _Prep, qd, lv, av, lam0, params: SolverParams):
     omega = params.relaxation
+    C = prep.active.shape[1]
+    if C >= CARRY_THREAD_MIN_SLOTS:
+        dyn_leaves, rebuild = _carry_split(prep)
+    else:
+        dyn_leaves, rebuild = (), lambda _: prep
 
     def sweep(carry, _):
-        qd, lv, av, lam = carry
-        v = _rel_velocity(prep, qd, lv, av)
-        lam_new = _project(prep, lam, v)
+        qd, lv, av, lam, leaves = carry
+        pr = rebuild(leaves)
+        v = _rel_velocity(pr, qd, lv, av)
+        lam_new = _project(pr, lam, v)
         dlam = (
             omega * (lam_new - lam)
-            * (prep.active * prep.split)[..., None]
+            * (pr.active * pr.split)[..., None]
         )
         lam = lam + dlam
-        dP = jnp.einsum("bcd,bcdi->bci", dlam, prep.basis)
-        qd, lv, av = _apply_impulses(prep, qd, lv, av, dP)
-        return (qd, lv, av, lam), None
+        dP = jnp.einsum("bcd,bcdi->bci", dlam, pr.basis)
+        qd, lv, av = _apply_impulses(pr, qd, lv, av, dP)
+        return (qd, lv, av, lam, leaves), None
 
-    (qd, lv, av, lam), _ = jax.lax.scan(
-        sweep, (qd, lv, av, lam0), None, length=params.iterations
+    (qd, lv, av, lam, _), _ = jax.lax.scan(
+        sweep, (qd, lv, av, lam0, dyn_leaves), None, length=params.iterations
     )
     return qd, lv, av, lam
 
