@@ -51,6 +51,10 @@ class ObjectShapes(NamedTuple):
     # the OBB with trimesh and transforms it per step, multi_object.py:743)
     obb_pos: jnp.ndarray | None = None  # [K, 3]
     obb_quat: jnp.ndarray | None = None  # [K, 4] wxyz body->obb
+    # matmul-layout SDF tables for the Pallas one-hot-gather kernel
+    # (ops/sdf_gather.py): bf16 hi + bf16 residual, [K, R*4, R*R]
+    sdf_table_hi: jnp.ndarray | None = None
+    sdf_table_lo: jnp.ndarray | None = None
 
     @property
     def num_objects(self) -> int:
@@ -222,7 +226,9 @@ def stack_objects(objs: list[dict], dtype=jnp.float32) -> ObjectShapes:
     f = lambda x: jnp.asarray(x, dtype=dtype)
     mass = np.array([o["mass"] for o in objs])
     sdf_grid = sdf_lo = sdf_spacing = sdf_field = None
+    sdf_table_hi = sdf_table_lo = None
     if any(o["kind"] == MESH_SDF for o in objs):
+        from handarm_tpu.ops.sdf_gather import pack_sdf_tables
         from handarm_tpu.physics.sdf import bake_grad_grid
 
         res = max(
@@ -244,6 +250,9 @@ def stack_objects(objs: list[dict], dtype=jnp.float32) -> ObjectShapes:
             spacings[k] = o["sdf_spacing"]
         sdf_grid, sdf_lo, sdf_spacing = f(grids), f(los), f(spacings)
         sdf_field = f(fields)
+        packed = [pack_sdf_tables(fields[k]) for k in range(K)]
+        sdf_table_hi = jnp.asarray(np.stack([np.asarray(t[0]) for t in packed]))
+        sdf_table_lo = jnp.asarray(np.stack([np.asarray(t[1]) for t in packed]))
     return ObjectShapes(
         kind=np.array([o["kind"] for o in objs], dtype=np.int32),
         size=f(np.stack([o["size"] for o in objs])),
@@ -263,6 +272,8 @@ def stack_objects(objs: list[dict], dtype=jnp.float32) -> ObjectShapes:
         sdf_lo=sdf_lo,
         sdf_spacing=sdf_spacing,
         sdf_field=sdf_field,
+        sdf_table_hi=sdf_table_hi,
+        sdf_table_lo=sdf_table_lo,
     )
 
 
@@ -336,6 +347,23 @@ def object_sdf(shapes: ObjectShapes, k_static: int, p_body: jnp.ndarray):
     if kind == CYLINDER:
         return sdf_cylinder(p_body, shapes.size[k_static, 0], shapes.size[k_static, 1])
     if kind == MESH_SDF:
+        R = shapes.sdf_field.shape[1]
+        if shapes.sdf_table_hi is not None and jax.default_backend() != "cpu":
+            # TPU: one-hot matmul kernel — the XLA voxel gather runs at
+            # ~70 ns/query and dominates multi-object contact generation
+            from handarm_tpu.ops.sdf_gather import sdf_sample_pallas
+
+            out = sdf_sample_pallas(
+                shapes.sdf_table_hi[k_static],
+                shapes.sdf_table_lo[k_static],
+                shapes.sdf_lo[k_static],
+                shapes.sdf_spacing[k_static],
+                p_body,
+                R=R,
+            )
+            d, g = out[..., 0], out[..., 1:4]
+            g = g * jax.lax.rsqrt(jnp.sum(g * g, axis=-1, keepdims=True) + 1e-18)
+            return d, g
         from handarm_tpu.physics.sdf import sample_sdf_channels
 
         out = sample_sdf_channels(
@@ -347,7 +375,6 @@ def object_sdf(shapes: ObjectShapes, k_static: int, p_body: jnp.ndarray):
         d, g = out[..., 0], out[..., 1:4]
         g = g * jax.lax.rsqrt(jnp.sum(g * g, axis=-1, keepdims=True) + 1e-18)
         # out-of-grid excess so far points still see increasing distance
-        R = shapes.sdf_field.shape[1]
         u_raw = (p_body - shapes.sdf_lo[k_static]) / shapes.sdf_spacing[k_static]
         excess = jnp.linalg.norm(
             jnp.maximum(jnp.abs(u_raw - (R - 1) / 2) - (R - 1) / 2, 0.0),
