@@ -181,10 +181,15 @@ def env_from_yaml(path: str, overrides: list[str] | None = None):
         use_bin=bool(get(cfg, "objects.bin.enabled", False)),
         bin_half_extent=float(get(cfg, "objects.bin.half_extent", 0.15)),
         bin_wall_height=float(get(cfg, "objects.bin.wall_height", 0.10)),
+        # reference uses a top-level `workspace: [[lo], [hi]]` pair
+        # (cfg/task/HandArmEnvMultiObject.yaml:26); env.workspace.lo/hi
+        # also accepted
         workspace_lo=tuple(get(cfg, "env.workspace.lo",
-                               HandArmConfig.workspace_lo)),
+                               cfg.get("workspace",
+                                       [HandArmConfig.workspace_lo])[0])),
         workspace_hi=tuple(get(cfg, "env.workspace.hi",
-                               HandArmConfig.workspace_hi)),
+                               cfg.get("workspace",
+                                       [None, HandArmConfig.workspace_hi])[-1])),
         cameras=_cameras_from_yaml(env_block.get("cameras", {})),
         dr=_dr_from_yaml(get(cfg, "rl.randomization_params.dr", {})),
         adr=_adr_from_yaml(get(cfg, "rl.randomization_params.adr", {})),
@@ -253,7 +258,7 @@ def _adr_from_yaml(block: dict):
 _KNOWN_YAML_KEYS = {
     "robot", "env", "sim", "rl", "objects", "pointclouds", "ppo",
     "table_height", "name", "defaults", "debug", "logging", "ros", "asset",
-    "task", "seed", "experiment",
+    "task", "seed", "experiment", "workspace",
 }
 
 
