@@ -56,6 +56,10 @@ class SolverParams(NamedTuple):
     # restitution_threshold; PhysX bounceThreshold analog)
     restitution_threshold: float = 0.2
     mode: str = "jacobi"  # "jacobi" (vectorized, default) | "gs" (sequential)
+    # jacobi data plane: "soa" keeps every per-slot quantity as a [B, C]
+    # plane (clean TPU tiles, couplings as 2D one-hot GEMMs); "aos" is the
+    # original [B, C, 3]-tensor formulation kept for cross-checks
+    jacobi_impl: str = "soa"
     # rolling resistance coefficient [m]: angular-impulse budget per unit of
     # normal impulse (PhysX's contact-patch manifold gives an implicit
     # rolling resistance that a single-point contact lacks — without this a
@@ -592,6 +596,227 @@ def _solve_gs(prep: _Prep, qd, lv, av, lam0, params: SolverParams):
     return carry
 
 
+# --- structure-of-arrays jacobi engine ---------------------------------------
+#
+# The AoS sweep operates on [B, C, 3] / [B, C, 3, 3] tensors whose tiny
+# minor dimensions tile-pad badly on TPU (a (3, 3) minor pads to (4, 128))
+# and whose contractions lower to micro-GEMMs. The SoA engine keeps every
+# per-slot quantity as a separate [B, C] plane (clean (8, 128) tiles, pure
+# VPU elementwise) and expresses every slot<->body/object coupling as a
+# single well-shaped 2D GEMM against a static matrix:
+#   robot gather/scatter:  [B, nv] @ [nv, C]  /  [B, C] @ [C, nv]
+#   object gather/scatter: [B, K] @ [K, C]    /  [B, C] @ [C, K]
+# Measured at B=8192, C=372: 7.7 ms/sweep (AoS) -> see bench history.
+
+
+class _SoASide(NamedTuple):
+    sign: float
+    onehot: jnp.ndarray  # [C, K] scatter map (zero rows = not participating)
+    onehotT: jnp.ndarray  # [K, C] gather map
+    r: tuple  # 3 x [B, C] lever arm components
+    Iinv: tuple  # 6 x [B, C] symmetric world inverse inertia (xx,xy,xz,yy,yz,zz)
+    invm: jnp.ndarray  # [B, C]
+
+
+class _SoA(NamedTuple):
+    n: tuple  # 3 x [B, C]
+    t1: tuple
+    t2: tuple
+    pos: tuple  # 3 x [B, C]
+    bias: jnp.ndarray  # [B, C]
+    mu: jnp.ndarray
+    inv_d: tuple  # 3 x [B, C] per direction (already active-masked)
+    gate: jnp.ndarray  # [B, C] active * mass-split
+    screw: tuple  # 6 x [B, nv] (ang x,y,z, lin x,y,z)
+    anc_slotT: jnp.ndarray  # [nv, C] dof -> slot coupling (robot-masked)
+    anc_slot: jnp.ndarray  # [C, nv]
+    Minv: jnp.ndarray  # [B, nv, nv]
+    sides: tuple  # of _SoASide
+
+
+def _soa_from_prep(prep: _Prep) -> _SoA:
+    def comps(x):  # [B, C, 3] -> 3 x [B, C]
+        return (x[..., 0], x[..., 1], x[..., 2])
+
+    sides = []
+    for key in ("a", "b"):
+        sd = prep.sides.get(key)
+        if sd is None:
+            continue
+        kidx, r, Iinv_c, invm_c, mask, sign, onehot = sd
+        sides.append(_SoASide(
+            sign=sign, onehot=onehot, onehotT=onehot.T,
+            r=comps(r),
+            Iinv=(Iinv_c[..., 0, 0], Iinv_c[..., 0, 1], Iinv_c[..., 0, 2],
+                  Iinv_c[..., 1, 1], Iinv_c[..., 1, 2], Iinv_c[..., 2, 2]),
+            invm=invm_c,
+        ))
+    return _SoA(
+        n=comps(prep.basis[:, :, 0]),
+        t1=comps(prep.basis[:, :, 1]),
+        t2=comps(prep.basis[:, :, 2]),
+        pos=comps(prep.pos),
+        bias=prep.bias,
+        mu=prep.mu,
+        inv_d=comps(prep.inv_d),
+        gate=prep.active * prep.split,
+        screw=(prep.screw[..., 0], prep.screw[..., 1], prep.screw[..., 2],
+               prep.screw[..., 3], prep.screw[..., 4], prep.screw[..., 5]),
+        anc_slotT=prep.anc_slot.T,
+        anc_slot=prep.anc_slot,
+        sides=tuple(sides),
+        Minv=prep.Minv,
+    )
+
+
+def _relv_soa(s: _SoA, qd, lvc, avc):
+    """Relative velocity components at every slot (A minus B): 3 x [B, C].
+
+    lvc/avc: object linear/angular velocities as 3 x [B, K] components."""
+    # robot side: slot point velocity via dof->slot coupling; the chain
+    # ancestor-mask + body gather collapses into anc_slot (constant)
+    b = [(s.screw[a] * qd) @ s.anc_slotT for a in range(6)]  # 6 x [B, C]
+    wx, wy, wz, lx, ly, lz = b
+    px, py, pz = s.pos
+    vx = lx + wy * pz - wz * py
+    vy = ly + wz * px - wx * pz
+    vz = lz + wx * py - wy * px
+    for sd in s.sides:
+        ox = [lvc[i] @ sd.onehotT for i in range(3)]
+        aw = [avc[i] @ sd.onehotT for i in range(3)]
+        rx, ry, rz = sd.r
+        vx = vx + sd.sign * (ox[0] + aw[1] * rz - aw[2] * ry)
+        vy = vy + sd.sign * (ox[1] + aw[2] * rx - aw[0] * rz)
+        vz = vz + sd.sign * (ox[2] + aw[0] * ry - aw[1] * rx)
+    return vx, vy, vz
+
+
+def _project_soa(s: _SoA, lam, v):
+    """Projected impulse update. lam: 3 x [B, C] (n, t1, t2); v: 3 x [B, C]."""
+    vx, vy, vz = v
+    vn = vx * s.n[0] + vy * s.n[1] + vz * s.n[2]
+    vt1 = vx * s.t1[0] + vy * s.t1[1] + vz * s.t1[2]
+    vt2 = vx * s.t2[0] + vy * s.t2[1] + vz * s.t2[2]
+    new_n = jnp.maximum(lam[0] + (s.bias - vn) * s.inv_d[0], 0.0)
+    ft1 = lam[1] - vt1 * s.inv_d[1]
+    ft2 = lam[2] - vt2 * s.inv_d[2]
+    fmag = jnp.sqrt(ft1 * ft1 + ft2 * ft2)
+    fmax = s.mu * new_n
+    scale = jnp.where(fmag > fmax, fmax / jnp.maximum(fmag, 1e-9), 1.0)
+    return new_n, ft1 * scale, ft2 * scale
+
+
+def _apply_soa(s: _SoA, qd, lvc, avc, dP):
+    """Apply world impulse components dP: 3 x [B, C]."""
+    dPx, dPy, dPz = dP
+    px, py, pz = s.pos
+    # robot: generalized impulse gi_u = sa_u . (p x dP) + sl_u . dP, with
+    # the slot sum folded into one [B, C] @ [C, nv] GEMM per component
+    mx = py * dPz - pz * dPy
+    my = pz * dPx - px * dPz
+    mz = px * dPy - py * dPx
+    T = [c @ s.anc_slot for c in (mx, my, mz, dPx, dPy, dPz)]  # 6 x [B, nv]
+    gi = (s.screw[0] * T[0] + s.screw[1] * T[1] + s.screw[2] * T[2]
+          + s.screw[3] * T[3] + s.screw[4] * T[4] + s.screw[5] * T[5])
+    qd = qd + jnp.sum(s.Minv * gi[:, None, :], axis=-1)
+    for sd in s.sides:
+        lvc = tuple(
+            lvc[i] + sd.sign * ((d * sd.invm) @ sd.onehot)
+            for i, d in enumerate((dPx, dPy, dPz))
+        )
+        rx, ry, rz = sd.r
+        tx = ry * dPz - rz * dPy
+        ty = rz * dPx - rx * dPz
+        tz = rx * dPy - ry * dPx
+        ixx, ixy, ixz, iyy, iyz, izz = sd.Iinv
+        dwx = ixx * tx + ixy * ty + ixz * tz
+        dwy = ixy * tx + iyy * ty + iyz * tz
+        dwz = ixz * tx + iyz * ty + izz * tz
+        avc = tuple(
+            avc[i] + sd.sign * (dw @ sd.onehot)
+            for i, dw in enumerate((dwx, dwy, dwz))
+        )
+    return qd, lvc, avc
+
+
+def _solve_jacobi_soa(prep: _Prep, qd, lv, av, params: SolverParams,
+                      warm_lam=None):
+    """SoA jacobi solve incl. restitution + warm start. Returns
+    (qd, lv, av, impulse_world [B, C, 3])."""
+    s = _soa_from_prep(prep)
+    B, C = s.bias.shape
+    omega = params.relaxation
+    lvc = (lv[..., 0], lv[..., 1], lv[..., 2])
+    avc = (av[..., 0], av[..., 1], av[..., 2])
+
+    if params.restitution > 0.0:
+        vx, vy, vz = _relv_soa(s, qd, lvc, avc)
+        vn0 = vx * s.n[0] + vy * s.n[1] + vz * s.n[2]
+        bounce = params.restitution * jnp.where(
+            vn0 < -params.restitution_threshold, -vn0, 0.0
+        )
+        s = s._replace(bias=jnp.maximum(s.bias, bounce))
+
+    if warm_lam is None or params.warm_start <= 0.0:
+        zero = jnp.zeros((B, C), qd.dtype)
+        lam = (zero, zero, zero)
+    else:
+        wx, wy, wz = warm_lam[..., 0], warm_lam[..., 1], warm_lam[..., 2]
+        ln = jnp.maximum(wx * s.n[0] + wy * s.n[1] + wz * s.n[2], 0.0)
+        lt1 = wx * s.t1[0] + wy * s.t1[1] + wz * s.t1[2]
+        lt2 = wx * s.t2[0] + wy * s.t2[1] + wz * s.t2[2]
+        fmag = jnp.sqrt(lt1 * lt1 + lt2 * lt2)
+        fmax = s.mu * ln
+        sc = jnp.where(fmag > fmax, fmax / jnp.maximum(fmag, 1e-9), 1.0)
+        act = prep.active
+        lam = (params.warm_start * ln * act,
+               params.warm_start * lt1 * sc * act,
+               params.warm_start * lt2 * sc * act)
+        dP0 = tuple(
+            lam[0] * s.n[i] + lam[1] * s.t1[i] + lam[2] * s.t2[i]
+            for i in range(3)
+        )
+        qd, lvc, avc = _apply_soa(s, qd, lvc, avc, dP0)
+
+    # everything in the carry is 2D — immune to the scan-boundary layout
+    # padding that motivated _carry_split for the AoS path
+    leaves, treedef = jax.tree_util.tree_flatten(s)
+    is_dyn = [isinstance(x, jax.Array) for x in leaves]
+    dyn = tuple(x for x, d in zip(leaves, is_dyn) if d)
+
+    def rebuild(dl):
+        it = iter(dl)
+        return jax.tree_util.tree_unflatten(
+            treedef, [next(it) if d else x for x, d in zip(leaves, is_dyn)]
+        )
+
+    def sweep(carry, _):
+        qd, lvc, avc, lam, dl = carry
+        ss = rebuild(dl)
+        v = _relv_soa(ss, qd, lvc, avc)
+        new = _project_soa(ss, lam, v)
+        dlam = tuple(omega * (new[i] - lam[i]) * ss.gate for i in range(3))
+        lam = tuple(lam[i] + dlam[i] for i in range(3))
+        dP = tuple(
+            dlam[0] * ss.n[i] + dlam[1] * ss.t1[i] + dlam[2] * ss.t2[i]
+            for i in range(3)
+        )
+        qd, lvc, avc = _apply_soa(ss, qd, lvc, avc, dP)
+        return (qd, lvc, avc, lam, dl), None
+
+    (qd, lvc, avc, lam, _), _ = jax.lax.scan(
+        sweep, (qd, lvc, avc, lam, dyn), None, length=params.iterations
+    )
+    impulse = jnp.stack(
+        [lam[0] * s.n[i] + lam[1] * s.t1[i] + lam[2] * s.t2[i]
+         for i in range(3)],
+        axis=-1,
+    )
+    lv = jnp.stack(lvc, axis=-1)
+    av = jnp.stack(avc, axis=-1)
+    return qd, lv, av, impulse
+
+
 def solve_prepared(
     prep: _Prep,
     qd: jnp.ndarray,
@@ -604,6 +829,12 @@ def solve_prepared(
     prep across a sim step's substeps is the TGS idiom (PhysX evaluates
     contacts/Jacobians once per step and substeps against them)."""
     B, C = prep.active.shape
+    if params.mode == "jacobi" and params.jacobi_impl == "soa":
+        qd, lv, av, impulse_w = _solve_jacobi_soa(
+            prep, qd, obj_linvel, obj_angvel, params, warm_lam
+        )
+        return SolverOut(qd=qd, obj_linvel=lv, obj_angvel=av,
+                         impulse=impulse_w)
     if params.restitution > 0.0:
         # restitution bias from the PRE-solve (and pre-warm-start) approach
         # speed: impacts faster than the threshold rebound at e*|vn|; the
