@@ -130,3 +130,29 @@ def make_allegro_dextreme(num_envs=256, episode_length=600, **kw):
     return AllegroHandDextremeEnv(
         num_envs=num_envs, episode_length=episode_length, **kw
     )
+
+
+# AllegroHandDextremeManualDR (allegro_hand_dextreme.py): the same env +
+# RNA adversary, but the randomization ranges are FIXED at hand-tuned
+# values instead of adapting — expressed here as an AdrConfig whose deltas
+# are zero, so rollout workers sample uniformly in the manual ranges and
+# the bounds never move.
+DEXTREME_MANUAL_DR = AdrConfig(
+    enabled=True,
+    names=("obs_noise", "action_noise", "rna_alpha"),
+    init_lo=(0.0, 0.0, 0.0),
+    init_hi=(0.04, 0.04, 0.25),
+    limit_lo=(0.0, 0.0, 0.0),
+    limit_hi=(0.04, 0.04, 0.25),
+    delta=(0.0, 0.0, 0.0),
+    queue_len=64,
+    objective_lo=1.0,
+    objective_hi=3.0,
+)
+
+
+def make_allegro_dextreme_manual(num_envs=256, episode_length=600, **kw):
+    return AllegroHandDextremeEnv(
+        num_envs=num_envs, episode_length=episode_length,
+        adr=DEXTREME_MANUAL_DR, **kw
+    )

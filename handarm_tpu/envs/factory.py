@@ -21,6 +21,13 @@ Variants (cfg.task):
   RailSpec.spin); yaw rotation advances it down the thread via the M16
   pitch (2 mm/turn), the env couples theta -> axial travel. Success =
   nut reaches the thread bottom (factory_task_nut_bolt_screw.py).
+- "gears": FactoryEnvGears scene — gear base + small/medium/large gears
+  (factory_env_gears.py). The reference FactoryTaskGears reward is a
+  scaffold (factory_task_gears.py:119-125 `_update_rew_buf: pass`), so
+  this variant is scene/control/obs parity with zero task reward.
+- "insertion": FactoryEnvInsertion scene — round 8 mm peg + hole from the
+  desired_subassemblies list (factory_env_insertion.py,
+  FactoryEnvInsertion.yaml:14). Reward likewise a reference scaffold.
 """
 
 from __future__ import annotations
@@ -131,16 +138,49 @@ class FactoryStepResult(NamedTuple):
 
 class FactoryNutBoltEnv:
     def __init__(self, cfg: FactoryConfig = FactoryConfig()):
-        assert cfg.task in ("pick", "place", "screw")
+        assert cfg.task in ("pick", "place", "screw", "gears", "insertion")
         self.cfg = cfg
         art = compile_urdf(FRANKA_URDF)
         self.art = art
         nv = art.nv
 
-        nut = _load_factory_mesh("factory_nut_m16_loose", mass=0.03)
-        bolt = _load_factory_mesh("factory_bolt_m16_loose", mass=0.1)
-        shapes = stack_objects([nut, bolt])
-        self.K = 2
+        if cfg.task == "gears":
+            # FactoryEnvGears scene: gear base + small/medium/large gears
+            # (factory_env_gears.py; the medium gear is object 0 — the
+            # reference task's grasp target). FactoryTaskGears's reward is a
+            # scaffold in the reference (_update_rew_buf: pass,
+            # factory_task_gears.py:119-121) — scene + control parity only.
+            # note: factory_gear_large's .obj is absent from the reference
+            # asset tree (only its .mtl shipped), so the scene holds the
+            # two gears whose meshes exist + the base
+            recs = [
+                _load_factory_mesh("factory_gear_medium", mass=0.05),
+                _load_factory_mesh("factory_gear_base_loose", mass=0.5),
+                _load_factory_mesh("factory_gear_small", mass=0.03),
+            ]
+        elif cfg.task == "insertion":
+            # FactoryEnvInsertion: plug (object 0) + socket (object 1) from
+            # the desired_subassemblies list (FactoryEnvInsertion.yaml:14;
+            # round_peg_hole_8mm_loose here). FactoryTaskInsertion's reward
+            # is likewise a reference scaffold (factory_task_insertion.py).
+            recs = [
+                _load_factory_mesh("factory_round_peg_8mm_loose", mass=0.02),
+                _load_factory_mesh("factory_round_hole_8mm", mass=0.5),
+            ]
+        else:
+            recs = [
+                _load_factory_mesh("factory_nut_m16_loose", mass=0.03),
+                _load_factory_mesh("factory_bolt_m16_loose", mass=0.1),
+            ]
+        shapes = stack_objects(recs)
+        self.K = len(recs)
+        # spawn height of each object's com over the table, and the grasp
+        # height above object 0 (NUT_HEIGHT analog), from the baked OBBs
+        self.spawn_h = [float(np.asarray(r["size"])[2]) for r in recs]
+        self.grasp_h = (
+            NUT_HEIGHT if cfg.task in ("pick", "place", "screw")
+            else 2.0 * self.spawn_h[0]
+        )
 
         rails = None
         if cfg.task == "screw":
@@ -221,7 +261,10 @@ class FactoryNutBoltEnv:
         self.grip_home = np.asarray(gp0[0, 0])
 
         self.num_actions = 12
-        self.num_obs = {"pick": 20, "place": 27, "screw": 32}[cfg.task]
+        # gears/insertion observe like pick: eef state + object-0 grasp frame
+        self.obs_mode = {"pick": "pick", "gears": "pick", "insertion": "pick",
+                         "place": "place", "screw": "screw"}[cfg.task]
+        self.num_obs = {"pick": 20, "place": 27, "screw": 32}[self.obs_mode]
         self.num_teacher_obs = 0
         self.obs_slices = {"obs": (0, self.num_obs)}
 
@@ -250,7 +293,7 @@ class FactoryNutBoltEnv:
     def _nut_grasp_frame(self, phys):
         """Grasp frame centered above the nut (reference nut_grasp offsets:
         the gripper grasps the nut from above at its height)."""
-        pos = phys.objects.pos[:, 0] + jnp.asarray([0.0, 0.0, NUT_HEIGHT])
+        pos = phys.objects.pos[:, 0] + jnp.asarray([0.0, 0.0, self.grasp_h])
         return pos, phys.objects.quat[:, 0]
 
     # -- reset --------------------------------------------------------------
@@ -267,13 +310,17 @@ class FactoryNutBoltEnv:
         )
         if cfg.task == "screw":
             bolt_xy = jnp.broadcast_to(jnp.asarray(cfg.bolt_xy), (B, 2))
-        bolt_pos = jnp.concatenate(
-            [bolt_xy, jnp.full((B, 1), TABLE_HEIGHT + BOLT_HEAD_HEIGHT / 2
-                               + BOLT_SHANK_LENGTH / 2)], -1,
+        bolt_z = (
+            TABLE_HEIGHT + self.spawn_h[1]
+            if cfg.task in ("gears", "insertion")
+            else TABLE_HEIGHT + BOLT_HEAD_HEIGHT / 2 + BOLT_SHANK_LENGTH / 2
         )
-        if cfg.task == "pick":
+        bolt_pos = jnp.concatenate(
+            [bolt_xy, jnp.full((B, 1), bolt_z)], -1,
+        )
+        if cfg.task in ("pick", "gears", "insertion"):
             nut_pos = jnp.concatenate(
-                [nut_xy, jnp.full((B, 1), TABLE_HEIGHT + NUT_HEIGHT / 2)], -1
+                [nut_xy, jnp.full((B, 1), TABLE_HEIGHT + self.spawn_h[0])], -1
             )
         elif cfg.task == "place":
             # nut starts inside the closed gripper (the reference scripts a
@@ -295,7 +342,16 @@ class FactoryNutBoltEnv:
                     (B, 1), TABLE_HEIGHT + BOLT_HEAD_HEIGHT + BOLT_SHANK_LENGTH
                 )], -1,
             )
-        opos = jnp.stack([nut_pos, bolt_pos], axis=1)
+        cols = [nut_pos, bolt_pos]
+        if cfg.task == "gears":
+            # the small gear rests on the table beside the base
+            # (factory_env_gears.py places the gears on the base plate)
+            for k, dx in ((2, -0.08),):
+                cols.append(jnp.concatenate(
+                    [bolt_xy + jnp.asarray([dx, 0.0]),
+                     jnp.full((B, 1), TABLE_HEIGHT + self.spawn_h[k])], -1,
+                ))
+        opos = jnp.stack(cols, axis=1)
         phys = phys._replace(objects=phys.objects._replace(pos=opos))
         return FactoryState(
             physics=phys,
@@ -320,10 +376,10 @@ class FactoryNutBoltEnv:
         _, gp, gq, v, w = self._eef(phys)
         nut_pos, nut_quat = phys.objects.pos[:, 0], phys.objects.quat[:, 0]
         base = [gp, gq, v, w]
-        if self.cfg.task == "pick":
+        if self.obs_mode == "pick":
             gpos, gquat = self._nut_grasp_frame(phys)
             parts = base + [gpos, gquat]
-        elif self.cfg.task == "place":
+        elif self.obs_mode == "place":
             parts = base + [nut_pos, nut_quat,
                             s.bolt_pos, phys.objects.quat[:, 1]]
         else:
@@ -405,7 +461,7 @@ class FactoryNutBoltEnv:
         nut_pos = phys.objects.pos[:, 0]
 
         # keypoint reward (factory_task_nut_bolt_*.py _update_rew_buf)
-        if cfg.task == "pick":
+        if cfg.task in ("pick", "gears", "insertion"):
             tgt_pos, tgt_quat = self._nut_grasp_frame(phys)
             kp_a = self._keypoints(gp, gq)
             kp_b = self._keypoints(tgt_pos, tgt_quat)
@@ -429,7 +485,14 @@ class FactoryNutBoltEnv:
         )
 
         # success criteria
-        if cfg.task == "pick":
+        if cfg.task in ("gears", "insertion"):
+            # reference FactoryTaskGears/FactoryTaskInsertion are reward
+            # scaffolds (_update_rew_buf/_update_reset_buf: pass) — zero
+            # task reward, timeout-only episodes
+            reward = jnp.zeros_like(reward)
+            success = jnp.zeros(B, bool)
+            lifted = state.lifted
+        elif cfg.task == "pick":
             lifted = state.lifted | (
                 nut_pos[:, 2] > TABLE_HEIGHT + 3.0 * BOLT_HEAD_HEIGHT
             )

@@ -10,6 +10,7 @@ use the yaml config layer for deep structure).
 from __future__ import annotations
 
 import dataclasses
+import inspect
 
 from handarm_tpu.envs.hand_arm import HandArmConfig, HandArmEnv
 from handarm_tpu.utils.config import _parse_value
@@ -397,7 +398,9 @@ def _factory_factory(task):
 # horizon 32, gamma 0.99
 for _t, _n in (("pick", "FactoryTaskNutBoltPick"),
                ("place", "FactoryTaskNutBoltPlace"),
-               ("screw", "FactoryTaskNutBoltScrew")):
+               ("screw", "FactoryTaskNutBoltScrew"),
+               ("gears", "FactoryTaskGears"),
+               ("insertion", "FactoryTaskInsertion")):
     register_classic(
         _n,
         _factory_factory(_t),
@@ -415,14 +418,27 @@ def _dextreme_factory(num_envs, episode_length):
     )
 
 
+def _dextreme_manual_factory(num_envs, episode_length):
+    from handarm_tpu.envs.dextreme import make_allegro_dextreme_manual
+
+    return make_allegro_dextreme_manual(
+        num_envs=num_envs,
+        episode_length=episode_length if episode_length != 500 else 600,
+    )
+
+
 # reference cfg/train/AllegroHandDextremeADRPPO.yaml (LSTM in the reference;
-# MLP surface here), ADR + RNA wired in the env wrapper
-register_classic(
-    "AllegroHandDextremeADR",
-    _dextreme_factory,
-    dict(hidden=(512, 512, 256, 128), horizon=16, minibatch_size=16384,
-         gamma=0.998, kl_threshold=0.016, reward_scale=0.01),
-)
+# MLP surface here), ADR + RNA wired in the env wrapper. "AllegroHandADR" /
+# "AllegroHandManualDR" are the reference task-map names
+# (tasks/__init__.py:97-99).
+_DEXTREME_PPO = dict(hidden=(512, 512, 256, 128), horizon=16,
+                     minibatch_size=16384, gamma=0.998, kl_threshold=0.016,
+                     reward_scale=0.01)
+register_classic("AllegroHandDextremeADR", _dextreme_factory,
+                 dict(_DEXTREME_PPO))
+register_classic("AllegroHandADR", _dextreme_factory, dict(_DEXTREME_PPO))
+register_classic("AllegroHandManualDR", _dextreme_manual_factory,
+                 dict(_DEXTREME_PPO))
 
 
 def _industreal_factory(task):
@@ -542,6 +558,25 @@ for _variant, _name in (
     )
 
 
+# reference task-map resolver names (tasks/__init__.py:66-91): the task is
+# "AllegroKuka"/"AllegroKukaTwoArms" and env.subtask picks the variant
+def _allegro_kuka_resolver(num_envs, episode_length, subtask="reorientation"):
+    return _allegro_kuka_factory(subtask)(num_envs, episode_length)
+
+
+def _allegro_kuka_two_arms_resolver(
+    num_envs, episode_length, subtask="reorientation"
+):
+    return _allegro_kuka_two_arms_factory(subtask)(num_envs, episode_length)
+
+
+_KUKA_PPO = dict(hidden=(768, 512, 256), horizon=16, minibatch_size=32768,
+                 gamma=0.99, kl_threshold=0.016, reward_scale=0.01)
+register_classic("AllegroKuka", _allegro_kuka_resolver, dict(_KUKA_PPO))
+register_classic("AllegroKukaTwoArms", _allegro_kuka_two_arms_resolver,
+                 dict(_KUKA_PPO))
+
+
 def _franka_cabinet_factory(num_envs, episode_length):
     from handarm_tpu.envs.franka_cabinet import make_franka_cabinet
 
@@ -648,7 +683,15 @@ def make_env(name: str, overrides: list[str] | None = None):
         kv = dict(ov.split("=", 1) for ov in overrides or [])
         num_envs = int(_parse_value(kv.get("num_envs", kv.get("env.num_envs", 512))))
         episode_length = int(_parse_value(kv.get("episode_length", 500)))
-        return factory(num_envs, episode_length), dict(ppo_overrides)
+        kwargs = {}
+        # subtask-resolved families (reference resolve_allegro_kuka*,
+        # tasks/__init__.py:66-91): cfg env.subtask picks the variant
+        subtask = kv.get("subtask", kv.get("env.subtask"))
+        if subtask is not None and "subtask" in inspect.signature(
+            factory
+        ).parameters:
+            kwargs["subtask"] = subtask
+        return factory(num_envs, episode_length, **kwargs), dict(ppo_overrides)
     if name not in TASKS:
         raise KeyError(
             f"unknown task {name!r}; known: {sorted(TASKS) + sorted(CLASSIC_TASKS)}"
