@@ -52,6 +52,12 @@ class PPOConfig(NamedTuple):
     value_bootstrap: bool = True
     max_lr: float = 1e-2
     min_lr: float = 1e-6
+    # trust-region rescue: if the iteration's mean policy KL exceeds this,
+    # the whole parameter update is discarded (one poisoned minibatch —
+    # e.g. a physics blowup leaking extreme observations — must not
+    # destroy the policy; recovery from such a spike costs hundreds of
+    # iterations otherwise)
+    kl_guard: float = 1.0
     hidden: tuple = (768, 512, 256)
     # asymmetric actor-critic: value net sees the privileged teacher
     # observations (reference central-value / asymmetric-obs configs,
@@ -401,10 +407,26 @@ class PPO:
             epoch_step, (ts.params, ts.opt_state, ts.lr), epoch_keys
         )
 
+        # trust-region rescue: revert a catastrophic update wholesale.
+        # Armed only after the first few iterations — the very first updates
+        # from a random init legitimately move the policy by KL ~ 1 while
+        # the input/value statistics warm up.
+        kl_mean = auxs["kl"].mean()
+        guard = (ts.epoch >= 8) & (
+            ~jnp.isfinite(kl_mean) | (kl_mean > cfg.kl_guard)
+        )
+        params, opt_state = jax.tree.map(
+            lambda old, new: jnp.where(guard, old, new),
+            (ts.params, ts.opt_state),
+            (params, opt_state),
+        )
+        lr = jnp.where(guard, jnp.maximum(ts.lr / 2.0, cfg.min_lr), lr)
+
         stats = dict(
             reward_mean=traj.reward.mean() / cfg.reward_scale,
             episode_done_frac=traj.done.mean(),
-            kl=auxs["kl"].mean(),
+            kl=kl_mean,
+            kl_guard_triggered=guard.astype(jnp.float32),
             policy_loss=auxs["policy_loss"].mean(),
             value_loss=auxs["value_loss"].mean(),
             entropy=auxs["entropy"].mean(),

@@ -29,9 +29,16 @@ def update_stats(stats: RunningStats, batch: jnp.ndarray) -> RunningStats:
     """batch: [N, ...shape] (leading axes are flattened).
 
     Non-finite samples are replaced by the current mean (zero update): one
-    exploded env must not poison the running statistics forever."""
+    exploded env must not poison the running statistics forever. Finite
+    outliers are winsorized to mean +- 10 sigma once the stats have seen a
+    few batches — a physics blowup emitting 1e12-scale (finite) values
+    would otherwise inflate the running variance so every normal obs
+    normalizes to ~0 and the policy KL explodes in one update."""
     x = batch.reshape((-1,) + stats.mean.shape)
     x = jnp.where(jnp.isfinite(x), x, stats.mean)
+    sigma = jnp.sqrt(stats.var + 1e-2)
+    lo, hi = stats.mean - 10.0 * sigma, stats.mean + 10.0 * sigma
+    x = jnp.where(stats.count > 2.0 * x.shape[0], jnp.clip(x, lo, hi), x)
     n = x.shape[0]
     b_mean = jnp.mean(x, axis=0)
     b_var = jnp.var(x, axis=0)
