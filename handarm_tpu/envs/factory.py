@@ -78,6 +78,18 @@ FRANKA_INIT_DOF = np.array(
 )
 
 
+def _body_z_half_extent(rec) -> float:
+    """Height of the body origin above the mesh's bottom surface along body
+    z: rotate the OBB into the body frame (|R[2,:]| . half_extents gives the
+    half-height) and subtract the OBB center offset. An object spawned at
+    z = table + this value rests exactly on the table."""
+    from handarm_tpu.math.quat import quat_to_matrix
+
+    R = np.asarray(quat_to_matrix(np.asarray(rec["obb_quat"], np.float32)))
+    half = np.abs(R[2, :]) @ np.asarray(rec["size"], np.float64)
+    return float(half - np.asarray(rec["obb_pos"])[2])
+
+
 def _load_factory_mesh(name: str, mass: float):
     """Bake a factory mesh URDF into an SDF object row with steel mass."""
     from handarm_tpu.envs.objects import load_object
@@ -145,7 +157,8 @@ class FactoryNutBoltEnv:
         nv = art.nv
 
         if cfg.task == "gears":
-            # FactoryEnvGears scene: gear base + small/medium/large gears
+            # FactoryEnvGears scene: gear base + small/medium gears — 3
+            # objects total
             # (factory_env_gears.py; the medium gear is object 0 — the
             # reference task's grasp target). FactoryTaskGears's reward is a
             # scaffold in the reference (_update_rew_buf: pass,
@@ -174,9 +187,13 @@ class FactoryNutBoltEnv:
             ]
         shapes = stack_objects(recs)
         self.K = len(recs)
-        # spawn height of each object's com over the table, and the grasp
-        # height above object 0 (NUT_HEIGHT analog), from the baked OBBs
-        self.spawn_h = [float(np.asarray(r["size"])[2]) for r in recs]
+        # spawn height of each object's com over the table = the body-frame
+        # z half-extent of the rotated OBB (NOT size[2], which is the
+        # half-extent along the OBB's own smallest-variance axis — for the
+        # 8mm peg that is the 4mm radius while the true z half-length is
+        # 25mm, so the peg would spawn interpenetrating the table and get
+        # ejected by the contact solver; advisor r2 finding)
+        self.spawn_h = [_body_z_half_extent(r) for r in recs]
         self.grasp_h = (
             NUT_HEIGHT if cfg.task in ("pick", "place", "screw")
             else 2.0 * self.spawn_h[0]
@@ -222,7 +239,35 @@ class FactoryNutBoltEnv:
             base_pos=(-0.45, 0.0, TABLE_HEIGHT),
             params=SimParams(
                 dt=cfg.dt, substeps=cfg.substeps,
-                solver=SolverParams(iterations=8),
+                # reference factory budget: 16 position iterations
+                # (cfg/task/FactoryBase.yaml:25). The tight depenetration
+                # cap matters for the mm-scale parts: with the default
+                # 0.5 m/s a tipping 8mm peg ratchets Baumgarte bias into
+                # ballistic bounces (advisor r2: physically-invalid scene)
+                # 16 iterations = the reference factory budget
+                # (cfg/task/FactoryBase.yaml:25). warm_start=0 in the
+                # free-tumbling-parts scenes (gears/insertion): their
+                # mm-scale parts relocate their contact sets every substep
+                # while tipping, so re-applied stale impulses pump spin
+                # (measured: a tipped 8mm peg spins to the angular-velocity
+                # cap and bounces indefinitely with warm start on, settles
+                # motionless with it off). The grasp-holding scenes
+                # (pick/place/screw) keep warm start — the persistent
+                # finger-nut contacts need the accumulated normal impulse
+                # to hold the friction cone closed under gravity.
+                solver=SolverParams(
+                    iterations=16,
+                    warm_start=(
+                        0.0 if cfg.task in ("gears", "insertion") else 0.9
+                    ),
+                ),
+                # mm-scale parts have tiny transverse inertias (a thin peg:
+                # ~4e-6 kg m^2) so contact-impulse noise pumps spin that the
+                # hand-arm-scale defaults (100 rad/s cap, 0.1/s damping)
+                # never bleed off; these caps let tipped parts come to rest
+                max_obj_angvel=20.0,
+                obj_angular_damping=1.0,
+                obj_linear_damping=0.2,
                 robot_gravity=False,
             ),
             rails=rails,

@@ -1162,7 +1162,13 @@ class HandArmEnv:
                 jnp.isfinite(physics.objects.pos.reshape(B, -1)), axis=-1
             )
             & jnp.all(
+                jnp.isfinite(physics.objects.quat.reshape(B, -1)), axis=-1
+            )
+            & jnp.all(
                 jnp.isfinite(physics.objects.linvel.reshape(B, -1)), axis=-1
+            )
+            & jnp.all(
+                jnp.isfinite(physics.objects.angvel.reshape(B, -1)), axis=-1
             )
             & jnp.all(
                 jnp.isfinite(physics.contact_impulse.reshape(B, -1)), axis=-1
@@ -1228,6 +1234,14 @@ class HandArmEnv:
             if self.active_teacher_obs
             else jnp.zeros((B, 0), obs.dtype)
         )
+        # hard contract: the env never emits non-finite observations. Even
+        # with the per-env finite guard above, obs terms sourced from the
+        # PRE-reset step info (contact forces) or from un-guarded leaves can
+        # leak a NaN from a blown-up env into the learner, where the critic
+        # value poisons GAE for the whole horizon (root cause of the
+        # lift_r2d NaN rows — see tests/test_nan_containment.py).
+        obs = jnp.where(jnp.isfinite(obs), obs, 0.0)
+        teacher_obs = jnp.where(jnp.isfinite(teacher_obs), teacher_obs, 0.0)
         result = StepResult(
             obs=obs,
             teacher_obs=teacher_obs,

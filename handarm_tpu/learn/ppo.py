@@ -63,6 +63,16 @@ class PPOConfig(NamedTuple):
     # observations (reference central-value / asymmetric-obs configs,
     # e.g. ShadowHand asymmetric state + hand_arm teacher_observations)
     asymmetric_critic: bool = False
+    # recurrent policy (reference rl_games rnn block: lstm-before-mlp with
+    # layer norm, cfg/train/AllegroHandDextremeADRPPO.yaml; hand-arm LSTM
+    # variant seq_len 4). 0 = MLP policy. BPTT runs over stored-state
+    # seq_len chunks of the rollout (rl_games seq_length semantics).
+    rnn_units: int = 0
+    seq_len: int = 4
+    zero_rnn_on_done: bool = True
+    # separate LSTM width for the asymmetric central-value critic
+    # (reference central_value_config rnn units: 2048); 0 -> rnn_units
+    critic_rnn_units: int = 0
 
 
 class TrainState(NamedTuple):
@@ -77,6 +87,8 @@ class TrainState(NamedTuple):
     epoch: jnp.ndarray
     teacher_obs_stats: RunningStats | None = None
     last_teacher_obs: jnp.ndarray | None = None
+    # LSTM carry per env (None for MLP policies)
+    hidden: Any = None
 
 
 class Transition(NamedTuple):
@@ -89,6 +101,8 @@ class Transition(NamedTuple):
     mu: jnp.ndarray
     sigma: jnp.ndarray
     teacher_obs: jnp.ndarray | None = None
+    # PRE-step LSTM carry (BPTT chunk-start states; None for MLP)
+    hidden: Any = None
 
 
 def _gaussian_logp(mu, log_std, a):
@@ -111,12 +125,36 @@ class PPO:
             assert getattr(env, "num_teacher_obs", 0) > 0, (
                 "asymmetric_critic requires env teacher_observations"
             )
-        self.net = ActorCritic(num_actions=env.num_actions, hidden=cfg.hidden)
-        from handarm_tpu.learn.networks import ValueNet
+        self.recurrent = cfg.rnn_units > 0
+        if self.recurrent:
+            from handarm_tpu.learn.networks import (
+                RecurrentActorCritic,
+                RecurrentValueNet,
+            )
 
-        self.value_net = (
-            ValueNet(hidden=cfg.hidden) if cfg.asymmetric_critic else None
-        )
+            assert cfg.horizon % cfg.seq_len == 0, (
+                "seq_len must divide horizon (rl_games seq_length rule)"
+            )
+            self.net = RecurrentActorCritic(
+                num_actions=env.num_actions,
+                rnn_units=cfg.rnn_units,
+                hidden=cfg.hidden,
+            )
+            self.value_net = (
+                RecurrentValueNet(
+                    rnn_units=cfg.critic_rnn_units or cfg.rnn_units,
+                    hidden=cfg.hidden,
+                )
+                if cfg.asymmetric_critic
+                else None
+            )
+        else:
+            self.net = ActorCritic(num_actions=env.num_actions, hidden=cfg.hidden)
+            from handarm_tpu.learn.networks import ValueNet
+
+            self.value_net = (
+                ValueNet(hidden=cfg.hidden) if cfg.asymmetric_critic else None
+            )
         batch = env.cfg.num_envs * cfg.horizon
         if cfg.num_minibatches:
             self.num_minibatches = cfg.num_minibatches
@@ -124,6 +162,8 @@ class PPO:
             self.num_minibatches = max(1, batch // cfg.minibatch_size)
         assert batch % self.num_minibatches == 0
         self.mb_size = batch // self.num_minibatches
+        if self.recurrent:
+            assert self.mb_size % cfg.seq_len == 0
         self.optimizer = optax.apply_if_finite(
             optax.chain(
                 optax.clip_by_global_norm(cfg.grad_norm),
@@ -138,17 +178,36 @@ class PPO:
 
     # --- init ---------------------------------------------------------------
 
+    def init_carry(self, batch: int):
+        """Zeroed LSTM carry pytree for `batch` envs (None for MLP)."""
+        if not self.recurrent:
+            return None
+        if self.cfg.asymmetric_critic:
+            return {
+                "actor": self.net.init_carry(batch),
+                "critic": self.value_net.init_carry(batch),
+            }
+        return self.net.init_carry(batch)
+
     def init(self, key) -> TrainState:
         k_env, k_net, k_vnet, k_next = jax.random.split(key, 4)
         env_state, obs = self.env.reset(k_env)
-        params = self.net.init(k_net, obs[:1])
+        hidden = self.init_carry(obs.shape[0])
+        if self.recurrent:
+            carry1 = self.net.init_carry(1)
+            params = self.net.init(k_net, obs[:1], carry1)
+        else:
+            params = self.net.init(k_net, obs[:1])
         teacher_stats = last_teacher = None
         if self.cfg.asymmetric_critic:
             _, teacher0, _ = self.env.observe(env_state)
-            params = {
-                "actor": params,
-                "critic": self.value_net.init(k_vnet, teacher0[:1]),
-            }
+            if self.recurrent:
+                critic_params = self.value_net.init(
+                    k_vnet, teacher0[:1], self.value_net.init_carry(1)
+                )
+            else:
+                critic_params = self.value_net.init(k_vnet, teacher0[:1])
+            params = {"actor": params, "critic": critic_params}
             teacher_stats = init_stats((self.env.num_teacher_obs,))
             last_teacher = teacher0
         opt_state = self.optimizer.init(params)
@@ -164,6 +223,7 @@ class PPO:
             epoch=jnp.zeros((), jnp.int32),
             teacher_obs_stats=teacher_stats,
             last_teacher_obs=last_teacher,
+            hidden=hidden,
         )
 
     # --- net helpers --------------------------------------------------------
@@ -185,9 +245,30 @@ class PPO:
             value = self.value_net.apply(params["critic"], t_nobs)
         return mu, log_std, value
 
+    def _policy_value_rnn(self, ts, params, obs, teacher_obs, carry):
+        """(mu, log_std, value, new_carry) for the recurrent policy."""
+        nobs = normalize(ts.obs_stats, obs) if self.cfg.normalize_input else obs
+        if self.cfg.asymmetric_critic:
+            mu, log_std, _, a_carry = self.net.apply(
+                params["actor"], nobs, carry["actor"]
+            )
+            t_nobs = (
+                normalize(ts.teacher_obs_stats, teacher_obs)
+                if self.cfg.normalize_input
+                else teacher_obs
+            )
+            value, c_carry = self.value_net.apply(
+                params["critic"], t_nobs, carry["critic"]
+            )
+            return mu, log_std, value, {"actor": a_carry, "critic": c_carry}
+        mu, log_std, value, new_carry = self.net.apply(params, nobs, carry)
+        return mu, log_std, value, new_carry
+
     # --- one train iteration (jit this) -------------------------------------
 
     def train_iter(self, ts: TrainState):
+        if self.recurrent:
+            return self._train_iter_rnn(ts)
         cfg = self.cfg
         key, k_roll, k_perm = jax.random.split(ts.key, 3)
 
@@ -212,17 +293,34 @@ class PPO:
                 if cfg.normalize_value
                 else value
             )
-            reward = res.reward * cfg.reward_scale
+            value = jnp.where(jnp.isfinite(value), value, 0.0)
+            # learner-boundary finite guard: envs without their own guard
+            # (or a guard with a hole) must not poison the batch. Note
+            # NaN * 0.0 == NaN in IEEE — the bootstrap below must use
+            # `where`, not multiplication by the done mask, or a single
+            # non-finite critic value leaks into EVERY transition's reward
+            # and GAE back-propagates it across the whole horizon.
+            reward = (
+                jnp.where(jnp.isfinite(res.reward), res.reward, 0.0)
+                * cfg.reward_scale
+            )
             # value bootstrap on episode-length timeout (all our dones are
             # timeouts — reference sets value_bootstrap: True)
             if cfg.value_bootstrap:
-                reward = reward + cfg.gamma * value * res.done
+                boot = jnp.where(
+                    res.done & jnp.isfinite(value), value, 0.0
+                )
+                reward = reward + cfg.gamma * boot
             t = Transition(
                 obs=obs, action=a, logp=logp, value=value,
                 reward=reward, done=res.done, mu=mu, sigma=jnp.exp(log_std),
                 teacher_obs=teacher_obs,
             )
-            return (env_state, res.obs, res.teacher_obs), (t, res.info)
+            next_obs = jnp.where(jnp.isfinite(res.obs), res.obs, 0.0)
+            next_teacher = jnp.where(
+                jnp.isfinite(res.teacher_obs), res.teacher_obs, 0.0
+            )
+            return (env_state, next_obs, next_teacher), (t, res.info)
 
         keys = jax.random.split(k_roll, cfg.horizon)
         (env_state, last_obs, last_teacher), (traj, infos) = jax.lax.scan(
@@ -248,6 +346,7 @@ class PPO:
             if cfg.normalize_value
             else last_value
         )
+        last_value = jnp.where(jnp.isfinite(last_value), last_value, 0.0)
 
         # 2. GAE
         def gae_step(carry, t):
@@ -415,10 +514,16 @@ class PPO:
         guard = (ts.epoch >= 8) & (
             ~jnp.isfinite(kl_mean) | (kl_mean > cfg.kl_guard)
         )
-        params, opt_state = jax.tree.map(
-            lambda old, new: jnp.where(guard, old, new),
-            (ts.params, ts.opt_state),
-            (params, opt_state),
+        # revert the normalization statistics along with params/opt_state:
+        # a poisoned rollout that trips the guard must not permanently
+        # shift the input/value normalization either (advisor r2 finding)
+        (params, opt_state, obs_stats, value_stats, teacher_stats) = (
+            jax.tree.map(
+                lambda old, new: jnp.where(guard, old, new),
+                (ts.params, ts.opt_state, ts.obs_stats, ts.value_stats,
+                 ts.teacher_obs_stats),
+                (params, opt_state, obs_stats, value_stats, teacher_stats),
+            )
         )
         lr = jnp.where(guard, jnp.maximum(ts.lr / 2.0, cfg.min_lr), lr)
 

@@ -20,7 +20,10 @@ for run in "$@"; do
     latest=$(ls "$src/nn" | grep -E '^ckpt_[0-9]+\.npz$' \
       | sort -t_ -k2 -n | tail -1 || true)
     if [ -n "${latest:-}" ]; then
-      cp "$src/nn/$latest" "$src/nn/$latest.tree" "$dst/"
+      cp "$src/nn/$latest" "$dst/"
+      # .tree sidecar separately: a missing sidecar must not abort the
+      # whole snapshot under set -eu
+      [ -f "$src/nn/$latest.tree" ] && cp "$src/nn/$latest.tree" "$dst/" || true
     fi
     for b in best_0.npz best_0.npz.tree; do
       [ -f "$src/nn/$b" ] && cp "$src/nn/$b" "$dst/" || true

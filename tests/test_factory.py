@@ -96,16 +96,21 @@ def test_factory_gears_scene_steps():
 def test_factory_insertion_scene_steps():
     """FactoryTaskInsertion parity: peg + socket scene (reference reward
     scaffold, factory_task_insertion.py)."""
-    env = make_factory(task="insertion", num_envs=2, episode_length=20)
+    env = make_factory(task="insertion", num_envs=2, episode_length=60)
     assert env.K == 2
     state, obs = jax.jit(env.reset)(jax.random.PRNGKey(4))
     step = jax.jit(env.step)
-    for _ in range(15):
+    # full episode: a spawn-penetration ejection peaks after ~30 steps
+    # (advisor r2 finding), so a short horizon would mask it
+    for _ in range(50):
         state, res = step(state, jnp.zeros((2, 12)))
     assert bool(jnp.all(jnp.isfinite(res.obs)))
     assert float(jnp.abs(res.reward).max()) == 0.0
     z = np.asarray(state.physics.objects.pos[:, :, 2])
-    assert (np.abs(z - TABLE_HEIGHT) < 0.12).all(), z
+    # both bodies rest on/near the table: origin height above the table is
+    # bounded by each mesh's z half-extent (a few cm), not ejected upward
+    assert (z - TABLE_HEIGHT > -0.01).all(), z
+    assert (z - TABLE_HEIGHT < 0.05).all(), z
 
 
 def test_registry_resolver_names():
