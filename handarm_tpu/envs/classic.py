@@ -173,15 +173,16 @@ def _cartpole_reward(q, qd, progress, cfg):
     return reward, bad
 
 
-def make_cartpole(num_envs: int = 512, episode_length: int = 500) -> ClassicEnv:
+def make_cartpole(
+    num_envs: int = 512, episode_length: int = 500, **kw
+) -> ClassicEnv:
     """Reference Cartpole (cfg/task/Cartpole.yaml: maxEffort 400, resetDist 3,
     reward/termination from tasks/cartpole.py compute_cartpole_reward)."""
     cfg = ClassicConfig(
         num_envs=num_envs,
         episode_length=episode_length,
-        actuated_dofs=(0,),
-        effort_scale=400.0,
-        reset_noise=0.1,
+        **{"actuated_dofs": (0,), "effort_scale": 400.0,
+           "reset_noise": 0.1, **kw},
     )
     env = ClassicEnv(cfg, _cartpole_obs, _cartpole_reward, num_obs=4)
     # sanity: slider (prismatic) then pole (revolute)

@@ -508,8 +508,17 @@ class ShadowHandEnv:
         )
 
         self.num_actions = len(_SHADOW_ACTUATED)  # 20
-        self.num_obs = 211  # full_state (shadow_hand.py:462-520)
-        self.num_teacher_obs = 0
+        # obs_type "openai" = the asymmetric ShadowHandOpenAI_* variants:
+        # the actor sees 42 dims (fingertip pos + object pos + goal-relative
+        # quat + actions, shadow_hand.py:481-485) while the central-value
+        # critic gets the full 211-dim state (asymmetric_observations,
+        # shadow_hand.py:125-128, cfg/task/ShadowHandOpenAI_FF.yaml)
+        if cfg.obs_type == "openai":
+            self.num_obs = 42
+            self.num_teacher_obs = 211
+        else:
+            self.num_obs = 211  # full_state (shadow_hand.py:462-520)
+            self.num_teacher_obs = 0
         self.obs_slices = {"obs": (0, self.num_obs)}
 
     _scale = AllegroHandEnv._scale
@@ -534,7 +543,46 @@ class ShadowHandEnv:
         )
         return jnp.clip(targets, self.q_lo, self.q_hi)
 
-    def _obs(self, s: DexState, info=None, fingertips=None):
+    def _obs(self, s: DexState, info=None):
+        if self.cfg.obs_type == "openai":
+            return self._obs_openai(s, info)
+        return self._obs_full_state(s, info)
+
+    def _obs_openai(self, s: DexState, info=None):
+        """42-dim fingertip observation (shadow_hand.py:481-485,
+        compute_fingertip_observations)."""
+        obj = s.physics.objects
+        opos, oquat = obj.pos[:, 0], obj.quat[:, 0]
+        B = opos.shape[0]
+        quat_diff = quat_mul(oquat, quat_conj(s.goal_quat))
+        ft_state, _ = self._fingertip_state(s, info)
+        act_padded = (
+            jnp.zeros((B, 20)) if s.actions.shape[-1] != 20 else s.actions
+        )
+        parts = [
+            ft_state[..., :3].reshape(B, -1),  # 15 fingertip positions
+            opos,                              # 3
+            quat_diff,                         # 4
+            act_padded,                        # 20
+        ]
+        return jnp.clip(jnp.concatenate(parts, -1), -5.0, 5.0)
+
+    def _teacher_obs(self, s: DexState, info=None):
+        """Privileged full state for the asymmetric central value."""
+        return self._obs_full_state(s, info)
+
+    def observe(self, state: DexState):
+        """(obs, teacher_obs, obs_dict) without stepping (asymmetric-critic
+        learner hook, same contract as HandArmEnv.observe)."""
+        obs = self._obs(state)
+        teacher = (
+            self._teacher_obs(state)
+            if self.num_teacher_obs
+            else jnp.zeros((obs.shape[0], 0), obs.dtype)
+        )
+        return obs, teacher, {"obs": obs}
+
+    def _obs_full_state(self, s: DexState, info=None, fingertips=None):
         cfg = self.cfg
         rob, obj = s.physics.robot, s.physics.objects
         q, qd = rob.q, rob.qd
@@ -664,6 +712,11 @@ class ShadowHandEnv:
         )._replace(key=key, cons_successes=cons)
         obs = self._obs(new_state, info)
         obs = jnp.where(jnp.isfinite(obs), obs, 0.0)
+        if self.num_teacher_obs:
+            teacher = self._teacher_obs(new_state, info)
+            teacher = jnp.where(jnp.isfinite(teacher), teacher, 0.0)
+        else:
+            teacher = jnp.zeros((B, 0), obs.dtype)
         return new_state, DexStepResult(
             obs=obs,
             reward=reward,
@@ -673,7 +726,7 @@ class ShadowHandEnv:
                 "rot_dist_mean": jnp.mean(rot_dist),
                 "goal_hits": jnp.sum(goal_hit),
             },
-            teacher_obs=jnp.zeros((B, 0), obs.dtype),
+            teacher_obs=teacher,
         )
 
 

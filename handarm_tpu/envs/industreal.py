@@ -109,6 +109,12 @@ class IndustRealConfig:
     task_prop_gain: float = 300.0
     socket_xy: tuple = (0.5, 0.0)
     socket_xy_noise: float = 0.002
+    # observation noise on the perceived socket position, resampled per
+    # reset (IndustRealTaskPegsInsert.yaml:22 socket_pos_obs_noise). The
+    # actor sees the noisy goal; the privileged teacher state carries the
+    # true goal + the noise residual (asymmetric central value,
+    # industreal_task_pegs_insert.py:315-345).
+    socket_pos_obs_noise: tuple = (0.001, 0.001, 0.0)
 
 
 class IRState(NamedTuple):
@@ -119,6 +125,7 @@ class IRState(NamedTuple):
     weld_p: jnp.ndarray  # [B, 3] plug offset in the gripper frame
     weld_q: jnp.ndarray  # [B, 4]
     inserted: jnp.ndarray  # [B] success latch
+    socket_obs_noise: jnp.ndarray  # [B, 3] per-episode perception error
     success_ewma: jnp.ndarray  # [] batch success EWMA (SBC driver)
     max_disp: jnp.ndarray  # [] SBC current max initial engagement
     steps_since_sbc: jnp.ndarray  # []
@@ -234,7 +241,7 @@ class IndustRealEnv:
 
         self.num_actions = 6
         self.num_obs = 24
-        self.num_teacher_obs = 0
+        self.num_teacher_obs = 47  # privileged central-value state
         self.obs_slices = {"obs": (0, self.num_obs)}
 
     # -- helpers ---------------------------------------------------------
@@ -304,7 +311,7 @@ class IndustRealEnv:
 
     def _fresh(self, key, B, max_disp=None) -> IRState:
         cfg = self.cfg
-        ks, kd_, k_next = jax.random.split(key, 3)
+        ks, kd_, k_next, k_on = jax.random.split(key, 4)
         if max_disp is None:
             max_disp = jnp.asarray(cfg.curriculum_height_bound[1])
         socket_xy = jnp.asarray(cfg.socket_xy) + cfg.socket_xy_noise * (
@@ -345,6 +352,10 @@ class IndustRealEnv:
             weld_p=weld_p,
             weld_q=weld_q,
             inserted=jnp.zeros(B, bool),
+            socket_obs_noise=(
+                jnp.asarray(cfg.socket_pos_obs_noise)
+                * jax.random.uniform(k_on, (B, 3), minval=-1.0, maxval=1.0)
+            ),
             success_ewma=jnp.zeros(()),
             max_disp=jnp.asarray(max_disp),
             steps_since_sbc=jnp.zeros((), jnp.int32),
@@ -366,18 +377,55 @@ class IndustRealEnv:
         goal = s.socket_pos + jnp.asarray(
             [0.0, 0.0, self.socket_height + self.plug_half_height]
         )
-        # 24 = arm q (7) + fingertip pose (7) + gripper goal pose (7) +
-        # plug-goal delta (3) (industreal_task_pegs_insert.py:289-310)
+        # the actor perceives the goal through the per-episode socket
+        # observation noise (industreal_task_pegs_insert.py:186-222)
+        noisy_goal = goal + s.socket_obs_noise
+        # 24 = arm q (7) + fingertip pose (7) + NOISY gripper goal pose (7)
+        # + plug-(noisy)goal delta (3) (industreal_task_pegs_insert.py:289-310)
         return jnp.concatenate(
             [
                 phys.robot.q[:, :7],
                 gp, gq,
-                goal, jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0]),
-                                       (gp.shape[0], 4)),
-                goal - plug,
+                noisy_goal, jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0]),
+                                             (gp.shape[0], 4)),
+                noisy_goal - plug,
             ],
             axis=-1,
         )
+
+    def _teacher_obs(self, s: IRState):
+        """47-dim privileged state for the asymmetric central-value critic
+        (industreal_task_pegs_insert.py:315-345, numStates 47): arm q/qd,
+        fingertip pose + velocities, TRUE goal pose, plug-goal delta, plug
+        pose, and the perception-noise residual."""
+        phys = s.physics
+        _, gp, gq, v, w = self._eef(phys)
+        plug = phys.objects.pos[:, 0]
+        plug_q = phys.objects.quat[:, 0]
+        goal = s.socket_pos + jnp.asarray(
+            [0.0, 0.0, self.socket_height + self.plug_half_height]
+        )
+        B = gp.shape[0]
+        ident = jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0]), (B, 4))
+        return jnp.concatenate(
+            [
+                phys.robot.q[:, :7],          # 7
+                phys.robot.qd[:, :7],         # 7
+                gp, gq,                       # 7
+                v, w,                         # 6
+                goal, ident,                  # 7 (true goal)
+                goal - plug,                  # 3
+                plug, plug_q,                 # 7
+                s.socket_obs_noise,           # 3 (noisy - true residual)
+            ],
+            axis=-1,
+        )
+
+    def observe(self, state: IRState):
+        """(obs, teacher_obs, obs_dict) without stepping — the learner's
+        privileged-critic hook (same contract as HandArmEnv.observe)."""
+        obs = self._obs(state)
+        return obs, self._teacher_obs(state), {"obs": obs}
 
     # -- step -----------------------------------------------------------------
 
@@ -494,6 +542,7 @@ class IndustRealEnv:
             socket_pos=state.socket_pos,
             weld_p=state.weld_p, weld_q=state.weld_q,
             inserted=inserted,
+            socket_obs_noise=state.socket_obs_noise,
             success_ewma=ewma, max_disp=max_disp, steps_since_sbc=t_sbc,
             key=key,
         )
@@ -513,6 +562,8 @@ class IndustRealEnv:
         )
         obs = self._obs(new_state)
         obs = jnp.where(jnp.isfinite(obs), obs, 0.0)
+        teacher = self._teacher_obs(new_state)
+        teacher = jnp.where(jnp.isfinite(teacher), teacher, 0.0)
         return new_state, IRStepResult(
             obs=obs,
             reward=reward,
@@ -524,7 +575,7 @@ class IndustRealEnv:
                 "max_interpen": jnp.mean(max_pen),
                 "inserted_frac": jnp.mean(inserted.astype(jnp.float32)),
             },
-            teacher_obs=jnp.zeros((B, 0), obs.dtype),
+            teacher_obs=teacher,
         )
 
 

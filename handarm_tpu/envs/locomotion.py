@@ -400,19 +400,21 @@ class LocomotionEnv:
         return total, fallen
 
 
-def make_ant(num_envs: int = 512, episode_length: int = 1000) -> LocomotionEnv:
+def make_ant(
+    num_envs: int = 512, episode_length: int = 1000, **kw
+) -> LocomotionEnv:
     """Reference Ant (cfg/task/Ant.yaml)."""
     return LocomotionEnv(
         LocomotionConfig(
-            mjcf="/root/reference/assets/mjcf/nv_ant.xml",
             num_envs=num_envs,
             episode_length=episode_length,
+            **{"mjcf": "/root/reference/assets/mjcf/nv_ant.xml", **kw},
         )
     )
 
 
 def make_humanoid(
-    num_envs: int = 512, episode_length: int = 1000
+    num_envs: int = 512, episode_length: int = 1000, **kw
 ) -> LocomotionEnv:
     """Reference Humanoid (cfg/task/Humanoid.yaml: power 1.0, termination
     0.8, start 1.34, angular_velocity_scale 0.25, energy 0.05, dof force
@@ -438,5 +440,6 @@ def make_humanoid(
             graded_limit_cost=True,
             reset_noise_qd=0.1,
             sensor_bodies=("right_foot", "left_foot"),
+            **kw,
         )
     )

@@ -110,6 +110,21 @@ register(
     dict(minibatch_size=8192),
 )
 register(
+    # single-box lift for the Stretch gripper (training-smoke analog of
+    # Ur5SihLift; the reference stretch task family is
+    # tasks/hand_arm/task/stretch_multi_object_manipulation.py)
+    "StretchLift",
+    HandArmConfig(
+        robot="stretch",
+        goal="lift",
+        observations=STRETCH_OBS,
+        actions=("stretch_relative_joint_pos",),
+        objects=(("box", (0.03, 0.03, 0.03), 0.15),),
+        use_bin=True,
+    ),
+    dict(minibatch_size=8192),
+)
+register(
     "Ur5SihReach",
     HandArmConfig(
         goal="lift",
@@ -283,10 +298,10 @@ def register_classic(name: str, factory, ppo_overrides: dict | None = None):
     CLASSIC_TASKS[name] = (factory, ppo_overrides or {})
 
 
-def _cartpole_factory(num_envs, episode_length):
+def _cartpole_factory(num_envs, episode_length, **kw):
     from handarm_tpu.envs.classic import make_cartpole
 
-    return make_cartpole(num_envs=num_envs, episode_length=episode_length)
+    return make_cartpole(num_envs=num_envs, episode_length=episode_length, **kw)
 
 
 register_classic(
@@ -296,16 +311,16 @@ register_classic(
 )
 
 
-def _ant_factory(num_envs, episode_length):
+def _ant_factory(num_envs, episode_length, **kw):
     from handarm_tpu.envs.locomotion import make_ant
 
-    return make_ant(num_envs=num_envs, episode_length=episode_length)
+    return make_ant(num_envs=num_envs, episode_length=episode_length, **kw)
 
 
-def _humanoid_factory(num_envs, episode_length):
+def _humanoid_factory(num_envs, episode_length, **kw):
     from handarm_tpu.envs.locomotion import make_humanoid
 
-    return make_humanoid(num_envs=num_envs, episode_length=episode_length)
+    return make_humanoid(num_envs=num_envs, episode_length=episode_length, **kw)
 
 
 # PPO overrides mirror the reference train configs (cfg/train/AntPPO.yaml:
@@ -326,12 +341,13 @@ register_classic(
 )
 
 
-def _allegro_factory(num_envs, episode_length):
+def _allegro_factory(num_envs, episode_length, **kw):
     from handarm_tpu.envs.dexhand import make_allegro
 
     return make_allegro(
         num_envs=num_envs,
         episode_length=episode_length if episode_length != 500 else 600,
+        **kw,
     )
 
 
@@ -345,12 +361,13 @@ register_classic(
 )
 
 
-def _trifinger_factory(num_envs, episode_length):
+def _trifinger_factory(num_envs, episode_length, **kw):
     from handarm_tpu.envs.trifinger import make_trifinger
 
     return make_trifinger(
         num_envs=num_envs,
         episode_length=episode_length if episode_length != 500 else 750,
+        **kw,
     )
 
 
@@ -363,12 +380,13 @@ register_classic(
 )
 
 
-def _franka_stack_factory(num_envs, episode_length):
+def _franka_stack_factory(num_envs, episode_length, **kw):
     from handarm_tpu.envs.franka import make_franka_cube_stack
 
     return make_franka_cube_stack(
         num_envs=num_envs,
         episode_length=episode_length if episode_length != 500 else 300,
+        **kw,
     )
 
 
@@ -382,7 +400,7 @@ register_classic(
 
 
 def _factory_factory(task):
-    def factory(num_envs, episode_length):
+    def factory(num_envs, episode_length, **kw):
         from handarm_tpu.envs.factory import make_factory
 
         return make_factory(
@@ -409,31 +427,37 @@ for _t, _n in (("pick", "FactoryTaskNutBoltPick"),
     )
 
 
-def _dextreme_factory(num_envs, episode_length):
+def _dextreme_factory(num_envs, episode_length, **kw):
     from handarm_tpu.envs.dextreme import make_allegro_dextreme
 
     return make_allegro_dextreme(
         num_envs=num_envs,
         episode_length=episode_length if episode_length != 500 else 600,
+        **kw,
     )
 
 
-def _dextreme_manual_factory(num_envs, episode_length):
+def _dextreme_manual_factory(num_envs, episode_length, **kw):
     from handarm_tpu.envs.dextreme import make_allegro_dextreme_manual
 
     return make_allegro_dextreme_manual(
         num_envs=num_envs,
         episode_length=episode_length if episode_length != 500 else 600,
+        **kw,
     )
 
 
-# reference cfg/train/AllegroHandDextremeADRPPO.yaml (LSTM in the reference;
-# MLP surface here), ADR + RNA wired in the env wrapper. "AllegroHandADR" /
-# "AllegroHandManualDR" are the reference task-map names
-# (tasks/__init__.py:97-99).
-_DEXTREME_PPO = dict(hidden=(512, 512, 256, 128), horizon=16,
+# reference cfg/train/AllegroHandDextremeADRPPO.yaml: LSTM-before-MLP
+# policy (rnn {units: 1024, layers: 1, before_mlp, layer_norm}, mlp
+# [512, 512], seq_length 16) — memory carries the belief over the ADR-
+# randomized dynamics. ADR + RNA wired in the env wrapper.
+# "AllegroHandADR" / "AllegroHandManualDR" are the reference task-map
+# names (tasks/__init__.py:97-99). rnn_units scaled 1024->512 to fit the
+# single-chip batch; override with ppo.rnn_units=1024 for full parity.
+_DEXTREME_PPO = dict(hidden=(512, 512), horizon=16,
                      minibatch_size=16384, gamma=0.998, kl_threshold=0.016,
-                     reward_scale=0.01)
+                     reward_scale=0.01, rnn_units=512, seq_len=16,
+                     zero_rnn_on_done=False)
 register_classic("AllegroHandDextremeADR", _dextreme_factory,
                  dict(_DEXTREME_PPO))
 register_classic("AllegroHandADR", _dextreme_factory, dict(_DEXTREME_PPO))
@@ -442,7 +466,7 @@ register_classic("AllegroHandManualDR", _dextreme_manual_factory,
 
 
 def _industreal_factory(task):
-    def factory(num_envs, episode_length):
+    def factory(num_envs, episode_length, **kw):
         from handarm_tpu.envs.industreal import make_industreal
 
         return make_industreal(
@@ -454,24 +478,29 @@ def _industreal_factory(task):
     return factory
 
 
-# reference cfg/train/IndustRealTask*PPO.yaml: units [256,128,64], asymmetric
-# central value in the reference; plain PPO surface here
+# reference cfg/train/IndustRealTask*PPO.yaml: units [256,128,64] with an
+# asymmetric central-value critic on the 47-dim privileged state (true
+# socket pose + velocities + perception-noise residual; the actor only
+# sees the noisy goal) — central_value_config at
+# IndustRealTaskPegsInsertPPO.yaml:81-100
 for _t, _n in (("pegs", "IndustRealTaskPegsInsert"),
                ("gears", "IndustRealTaskGearsInsert")):
     register_classic(
         _n,
         _industreal_factory(_t),
         dict(hidden=(256, 128, 64), horizon=32, minibatch_size=8192,
-             gamma=0.998, kl_threshold=0.016, reward_scale=0.01),
+             gamma=0.998, kl_threshold=0.016, reward_scale=0.01,
+             asymmetric_critic=True),
     )
 
 
-def _humanoid_amp_factory(num_envs, episode_length):
+def _humanoid_amp_factory(num_envs, episode_length, **kw):
     from handarm_tpu.envs.humanoid_amp import make_humanoid_amp
 
     return make_humanoid_amp(
         num_envs=num_envs,
         episode_length=episode_length if episode_length != 500 else 300,
+        **kw,
     )
 
 
@@ -486,12 +515,13 @@ register_classic(
 )
 
 
-def _anymal_terrain_factory(num_envs, episode_length):
+def _anymal_terrain_factory(num_envs, episode_length, **kw):
     from handarm_tpu.envs.anymal_terrain import make_anymal_terrain
 
     return make_anymal_terrain(
         num_envs=num_envs,
         episode_length=episode_length if episode_length != 500 else 1000,
+        **kw,
     )
 
 
@@ -506,13 +536,14 @@ register_classic(
 
 
 def _allegro_kuka_factory(variant):
-    def factory(num_envs, episode_length):
+    def factory(num_envs, episode_length, **kw):
         from handarm_tpu.envs.allegro_kuka import make_allegro_kuka
 
         return make_allegro_kuka(
             variant=variant,
             num_envs=num_envs,
             episode_length=episode_length if episode_length != 500 else 600,
+            **kw,
         )
 
     return factory
@@ -534,13 +565,14 @@ for _variant, _name in (
 
 
 def _allegro_kuka_two_arms_factory(variant):
-    def factory(num_envs, episode_length):
+    def factory(num_envs, episode_length, **kw):
         from handarm_tpu.envs.allegro_kuka import make_allegro_kuka_two_arms
 
         return make_allegro_kuka_two_arms(
             variant=variant,
             num_envs=num_envs,
             episode_length=episode_length if episode_length != 500 else 600,
+            **kw,
         )
 
     return factory
@@ -577,10 +609,10 @@ register_classic("AllegroKukaTwoArms", _allegro_kuka_two_arms_resolver,
                  dict(_KUKA_PPO))
 
 
-def _franka_cabinet_factory(num_envs, episode_length):
+def _franka_cabinet_factory(num_envs, episode_length, **kw):
     from handarm_tpu.envs.franka_cabinet import make_franka_cabinet
 
-    return make_franka_cabinet(num_envs=num_envs, episode_length=episode_length)
+    return make_franka_cabinet(num_envs=num_envs, episode_length=episode_length, **kw)
 
 
 # reference cfg/train/FrankaCabinetPPO.yaml: units [256,128,64], horizon 16,
@@ -593,18 +625,19 @@ register_classic(
 )
 
 
-def _quadcopter_factory(num_envs, episode_length):
+def _quadcopter_factory(num_envs, episode_length, **kw):
     from handarm_tpu.envs.quadcopter import make_quadcopter
 
-    return make_quadcopter(num_envs=num_envs, episode_length=episode_length)
+    return make_quadcopter(num_envs=num_envs, episode_length=episode_length, **kw)
 
 
-def _ingenuity_factory(num_envs, episode_length):
+def _ingenuity_factory(num_envs, episode_length, **kw):
     from handarm_tpu.envs.ingenuity import make_ingenuity
 
     return make_ingenuity(
         num_envs=num_envs,
         episode_length=episode_length if episode_length != 500 else 2000,
+        **kw,
     )
 
 
@@ -623,10 +656,10 @@ register_classic(
 )
 
 
-def _ball_balance_factory(num_envs, episode_length):
+def _ball_balance_factory(num_envs, episode_length, **kw):
     from handarm_tpu.envs.ball_balance import make_ball_balance
 
-    return make_ball_balance(num_envs=num_envs, episode_length=episode_length)
+    return make_ball_balance(num_envs=num_envs, episode_length=episode_length, **kw)
 
 
 # reference cfg/train/BallBalancePPO.yaml: units [128,64,32], horizon 16,
@@ -639,12 +672,13 @@ register_classic(
 )
 
 
-def _anymal_factory(num_envs, episode_length):
+def _anymal_factory(num_envs, episode_length, **kw):
     from handarm_tpu.envs.anymal import make_anymal
 
     return make_anymal(
         num_envs=num_envs,
         episode_length=episode_length if episode_length != 500 else 1000,
+        **kw,
     )
 
 
@@ -658,12 +692,13 @@ register_classic(
 )
 
 
-def _shadow_factory(num_envs, episode_length):
+def _shadow_factory(num_envs, episode_length, **kw):
     from handarm_tpu.envs.dexhand import make_shadow
 
     return make_shadow(
         num_envs=num_envs,
         episode_length=episode_length if episode_length != 500 else 600,
+        **kw,
     )
 
 
@@ -677,21 +712,70 @@ register_classic(
 )
 
 
+def _shadow_openai_factory(num_envs, episode_length, **kw):
+    from handarm_tpu.envs.dexhand import make_shadow
+
+    return make_shadow(
+        num_envs=num_envs,
+        episode_length=episode_length if episode_length != 500 else 600,
+        obs_type="openai",
+        **kw,
+    )
+
+
+# asymmetric ShadowHand variants (cfg/task/ShadowHandOpenAI_FF.yaml: 42-dim
+# actor obs + 211-dim central-value state; train cfgs ShadowHandOpenAI_FFPPO
+# [400,400,200,100] and ShadowHandOpenAI_LSTMPPO lstm 1024 + mlp [512])
+register_classic(
+    "ShadowHandOpenAI_FF",
+    _shadow_openai_factory,
+    dict(hidden=(400, 400, 200, 100), horizon=16, minibatch_size=32768,
+         gamma=0.998, kl_threshold=0.016, reward_scale=0.01,
+         asymmetric_critic=True),
+)
+register_classic(
+    "ShadowHandOpenAI_LSTM",
+    _shadow_openai_factory,
+    dict(hidden=(512,), horizon=16, minibatch_size=32768,
+         gamma=0.998, kl_threshold=0.016, reward_scale=0.01,
+         asymmetric_critic=True, rnn_units=1024, critic_rnn_units=1024,
+         seq_len=4),
+)
+
+
 def make_env(name: str, overrides: list[str] | None = None):
     if name in CLASSIC_TASKS:
         factory, ppo_overrides = CLASSIC_TASKS[name]
-        kv = dict(ov.split("=", 1) for ov in overrides or [])
-        num_envs = int(_parse_value(kv.get("num_envs", kv.get("env.num_envs", 512))))
-        episode_length = int(_parse_value(kv.get("episode_length", 500)))
+        ppo_updates = dict(ppo_overrides)
+        kv = {}
+        for ov in overrides or []:
+            key, val = ov.split("=", 1)
+            key = key.removeprefix("env.")
+            if key.startswith("ppo."):
+                # per-task train overrides win over the registry defaults
+                # (reference: hydra train.params.config.* CLI overrides)
+                ppo_updates[key[4:]] = _parse_value(val)
+            else:
+                kv[key] = val
+        num_envs = int(_parse_value(kv.pop("num_envs", 512)))
+        episode_length = int(_parse_value(kv.pop("episode_length", 500)))
         kwargs = {}
         # subtask-resolved families (reference resolve_allegro_kuka*,
         # tasks/__init__.py:66-91): cfg env.subtask picks the variant
-        subtask = kv.get("subtask", kv.get("env.subtask"))
+        subtask = kv.pop("subtask", None)
         if subtask is not None and "subtask" in inspect.signature(
             factory
         ).parameters:
             kwargs["subtask"] = subtask
-        return factory(num_envs, episode_length, **kwargs), dict(ppo_overrides)
+        # every remaining key is forwarded to the env's config dataclass
+        # (full yaml/CLI override surface; unknown keys raise TypeError
+        # from the dataclass with the offending name)
+        for k, v in kv.items():
+            pv = _parse_value(v)
+            if isinstance(pv, list):
+                pv = tuple(tuple(x) if isinstance(x, list) else x for x in pv)
+            kwargs[k] = pv
+        return factory(num_envs, episode_length, **kwargs), ppo_updates
     if name not in TASKS:
         raise KeyError(
             f"unknown task {name!r}; known: {sorted(TASKS) + sorted(CLASSIC_TASKS)}"
@@ -715,3 +799,57 @@ def make_env(name: str, overrides: list[str] | None = None):
     if updates:
         cfg = dataclasses.replace(cfg, **updates)
     return HandArmEnv(cfg), ppo_updates
+
+
+# --- yaml config-group surface (reference cfg/ groups, SURVEY.md §5.6) ------
+
+_CONFIG_ROOT = __import__("os").path.join(
+    __import__("os").path.dirname(
+        __import__("os").path.dirname(
+            __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+        )
+    ),
+    "configs",
+)
+
+# top-level keys that mark a FULL layered hand-arm config (the
+# Ur5SihBase/MultiObject/Manipulation lineage consumed by env_from_yaml)
+_FULL_CONFIG_KEYS = {"rl", "sim", "objects", "pointclouds", "cameras",
+                     "domain_randomization", "adr", "workspace"}
+
+
+def compose_task(name: str, overrides: list[str] | None = None):
+    """Resolve a task through its yaml config group when present
+    (configs/task/<name>.yaml [+ configs/train/<name>PPO.yaml]), falling
+    back to the code registry. Override precedence, lowest to highest:
+    registry defaults < task yaml env block < train yaml ppo block < CLI
+    key=value overrides — mirroring the reference's hydra composition
+    (isaacgymenvs/cfg/config.yaml defaults list + CLI)."""
+    import json
+    import os
+
+    from handarm_tpu.utils.config import load_config
+
+    overrides = list(overrides or [])
+    if name.endswith(".yaml"):
+        return env_from_yaml(name, overrides)
+    tpath = os.path.join(_CONFIG_ROOT, "task", f"{name}.yaml")
+    trpath = os.path.join(_CONFIG_ROOT, "train", f"{name}PPO.yaml")
+    train_over: list[str] = []
+    if os.path.exists(trpath):
+        for k, v in (load_config(trpath).get("ppo") or {}).items():
+            train_over.append(f"ppo.{k}={json.dumps(v)}")
+    yaml_over: list[str] = []
+    if os.path.exists(tpath):
+        tcfg = load_config(tpath)
+        if _FULL_CONFIG_KEYS & set(tcfg):
+            # full layered hand-arm config: env_from_yaml consumes it
+            # directly (its own ppo block < train yaml < CLI)
+            return env_from_yaml(tpath, train_over + overrides)
+        for k, v in (tcfg.get("env") or {}).items():
+            yaml_over.append(f"{k}={json.dumps(v)}")
+    return make_env(name, yaml_over + train_over + overrides)
+
+
+def all_task_names() -> list[str]:
+    return sorted(TASKS) + sorted(CLASSIC_TASKS)

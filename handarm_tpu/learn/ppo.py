@@ -559,10 +559,378 @@ class PPO:
         )
         return new_ts, stats
 
+    # --- recurrent (LSTM) path -----------------------------------------------
+
+    def _train_iter_rnn(self, ts: TrainState):
+        """Rollout with the LSTM carry threaded through the scan (reset-
+        masked on done), then BPTT over stored-state seq_len chunks
+        (rl_games seq_length semantics: the chunk-start hidden states come
+        from the rollout and are not recomputed between mini-epochs)."""
+        cfg = self.cfg
+        key, k_roll = jax.random.split(ts.key)
+        B = ts.last_obs.shape[0]
+        teacher0 = (
+            ts.last_teacher_obs
+            if ts.last_teacher_obs is not None
+            else jnp.zeros(
+                (B, getattr(self.env, "num_teacher_obs", 0)), ts.last_obs.dtype
+            )
+        )
+
+        def rollout_step(carry, k):
+            env_state, obs, teacher_obs, h = carry
+            mu, log_std, value, h_new = self._policy_value_rnn(
+                ts, ts.params, obs, teacher_obs, h
+            )
+            a = mu + jnp.exp(log_std) * jax.random.normal(k, mu.shape)
+            logp = _gaussian_logp(mu, log_std, a)
+            env_state, res = self.env.step(env_state, a)
+            value = (
+                denormalize(ts.value_stats, value)
+                if cfg.normalize_value
+                else value
+            )
+            value = jnp.where(jnp.isfinite(value), value, 0.0)
+            reward = (
+                jnp.where(jnp.isfinite(res.reward), res.reward, 0.0)
+                * cfg.reward_scale
+            )
+            if cfg.value_bootstrap:
+                boot = jnp.where(res.done & jnp.isfinite(value), value, 0.0)
+                reward = reward + cfg.gamma * boot
+            t = Transition(
+                obs=obs, action=a, logp=logp, value=value,
+                reward=reward, done=res.done, mu=mu, sigma=jnp.exp(log_std),
+                teacher_obs=teacher_obs, hidden=h,
+            )
+            if cfg.zero_rnn_on_done:
+                h_new = jax.tree.map(
+                    lambda x: jnp.where(res.done[:, None], 0.0, x), h_new
+                )
+            next_obs = jnp.where(jnp.isfinite(res.obs), res.obs, 0.0)
+            next_teacher = jnp.where(
+                jnp.isfinite(res.teacher_obs), res.teacher_obs, 0.0
+            )
+            return (env_state, next_obs, next_teacher, h_new), (t, res.info)
+
+        keys = jax.random.split(k_roll, cfg.horizon)
+        (env_state, last_obs, last_teacher, last_hidden), (traj, infos) = (
+            jax.lax.scan(
+                rollout_step,
+                (ts.env_state, ts.last_obs, teacher0, ts.hidden),
+                keys,
+            )
+        )
+        return self._update_from_traj_rnn(
+            ts, traj, env_state, last_obs, last_teacher, last_hidden, key,
+            infos=infos,
+        )
+
+    def _update_from_traj_rnn(
+        self, ts: TrainState, traj: Transition, env_state, last_obs,
+        last_teacher, last_hidden, key, infos=None,
+    ):
+        cfg = self.cfg
+        k_perm = jax.random.fold_in(key, 1)
+
+        _, _, last_value, _ = self._policy_value_rnn(
+            ts, ts.params, last_obs, last_teacher, last_hidden
+        )
+        last_value = (
+            denormalize(ts.value_stats, last_value)
+            if cfg.normalize_value
+            else last_value
+        )
+        last_value = jnp.where(jnp.isfinite(last_value), last_value, 0.0)
+
+        def gae_step(carry, t):
+            adv_next, v_next = carry
+            nonterminal = 1.0 - t.done.astype(jnp.float32)
+            delta = t.reward + cfg.gamma * v_next * nonterminal - t.value
+            adv = delta + cfg.gamma * cfg.tau * nonterminal * adv_next
+            return (adv, t.value), adv
+
+        _, advantages = jax.lax.scan(
+            gae_step,
+            (jnp.zeros_like(last_value), last_value),
+            traj,
+            reverse=True,
+        )
+        returns = advantages + traj.value
+
+        obs_stats = (
+            update_stats(ts.obs_stats, traj.obs.reshape(-1, traj.obs.shape[-1]))
+            if cfg.normalize_input
+            else ts.obs_stats
+        )
+        teacher_stats = ts.teacher_obs_stats
+        if cfg.asymmetric_critic and cfg.normalize_input:
+            teacher_stats = update_stats(
+                teacher_stats,
+                traj.teacher_obs.reshape(-1, traj.teacher_obs.shape[-1]),
+            )
+        value_stats = (
+            update_stats(ts.value_stats, returns.reshape(-1))
+            if cfg.normalize_value
+            else ts.value_stats
+        )
+
+        if cfg.normalize_advantage:
+            advantages = (advantages - advantages.mean()) / (
+                advantages.std() + 1e-8
+            )
+        returns_n = (
+            normalize(value_stats, returns, clip=jnp.inf)
+            if cfg.normalize_value
+            else returns
+        )
+        values_n = (
+            normalize(value_stats, traj.value, clip=jnp.inf)
+            if cfg.normalize_value
+            else traj.value
+        )
+
+        # --- sequence-chunk the [T, B] trajectory: N_seq = (T/L)*B chunks
+        # of length L, each with its rollout-stored initial carry
+        T, B = traj.done.shape
+        L = cfg.seq_len
+        n_chunks = T // L
+        N_seq = n_chunks * B
+
+        def seq(x):  # [T, B, ...] -> [N_seq, L, ...]
+            x = x.reshape((n_chunks, L, B) + x.shape[2:])
+            x = jnp.moveaxis(x, 2, 1)
+            return x.reshape((N_seq, L) + x.shape[3:])
+
+        def chunk_start(h):  # [T, B, R] -> [N_seq, R]
+            return h[::L].reshape((N_seq,) + h.shape[2:])
+
+        done_s = seq(traj.done)
+        # prev-step done inside each chunk (chunk-start carry is already
+        # post-reset from the rollout masking)
+        dprev = jnp.concatenate(
+            [jnp.zeros_like(done_s[:, :1]), done_s[:, :-1]], axis=1
+        )
+        batch = dict(
+            obs=seq(traj.obs),
+            action=seq(traj.action),
+            logp=seq(traj.logp),
+            adv=seq(advantages),
+            return_n=seq(returns_n),
+            value_n=seq(values_n),
+            mu=seq(traj.mu),
+            sigma=seq(traj.sigma),
+            teacher_obs=seq(traj.teacher_obs),
+            dprev=dprev,
+            h0=jax.tree.map(chunk_start, traj.hidden),
+        )
+
+        def apply_rnn_over_chunk(params, obs_n, teacher_n, h0, dprev_mb):
+            """Scan the nets over the L steps of each chunk (time-major)."""
+            om = jnp.swapaxes(obs_n, 0, 1)  # [L, n, D]
+            dp = jnp.swapaxes(dprev_mb, 0, 1)  # [L, n]
+
+            def mask(c, d):
+                if not cfg.zero_rnn_on_done:
+                    return c
+                return jax.tree.map(
+                    lambda x: jnp.where(d[:, None], 0.0, x), c
+                )
+
+            if cfg.asymmetric_critic:
+                tm = jnp.swapaxes(teacher_n, 0, 1)
+
+                def step(carry, xs):
+                    o, t_o, d = xs
+                    ca = mask(carry["actor"], d)
+                    cc = mask(carry["critic"], d)
+                    mu, log_std, _, ca2 = self.net.apply(params["actor"], o, ca)
+                    v, cc2 = self.value_net.apply(params["critic"], t_o, cc)
+                    return {"actor": ca2, "critic": cc2}, (mu, log_std, v)
+
+                _, (mu, log_std, value) = jax.lax.scan(
+                    step, h0, (om, tm, dp)
+                )
+            else:
+
+                def step(carry, xs):
+                    o, d = xs
+                    c = mask(carry, d)
+                    mu, log_std, v, c2 = self.net.apply(params, o, c)
+                    return c2, (mu, log_std, v)
+
+                _, (mu, log_std, value) = jax.lax.scan(step, h0, (om, dp))
+            # back to [n, L, ...]
+            return (
+                jnp.swapaxes(mu, 0, 1),
+                jnp.swapaxes(log_std, 0, 1),
+                jnp.swapaxes(value, 0, 1),
+            )
+
+        def loss_fn(params, mb):
+            obs_n = (
+                normalize(obs_stats, mb["obs"])
+                if cfg.normalize_input
+                else mb["obs"]
+            )
+            teacher_n = (
+                normalize(teacher_stats, mb["teacher_obs"])
+                if (cfg.asymmetric_critic and cfg.normalize_input)
+                else mb["teacher_obs"]
+            )
+            mu, log_std, value = apply_rnn_over_chunk(
+                params, obs_n, teacher_n, mb["h0"], mb["dprev"]
+            )
+            logp = _gaussian_logp(mu, log_std, mb["action"])
+            ratio = jnp.exp(logp - mb["logp"])
+            surr1 = ratio * mb["adv"]
+            surr2 = jnp.clip(ratio, 1.0 - cfg.e_clip, 1.0 + cfg.e_clip) * mb["adv"]
+            policy_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+            if cfg.clip_value:
+                v_clipped = mb["value_n"] + jnp.clip(
+                    value - mb["value_n"], -cfg.e_clip, cfg.e_clip
+                )
+                v_loss = jnp.maximum(
+                    (value - mb["return_n"]) ** 2,
+                    (v_clipped - mb["return_n"]) ** 2,
+                )
+            else:
+                v_loss = (value - mb["return_n"]) ** 2
+            value_loss = 0.5 * jnp.mean(v_loss)
+            entropy = jnp.mean(
+                jnp.sum(log_std + 0.5 * jnp.log(2.0 * jnp.pi * jnp.e), axis=-1)
+            )
+            mu_excess = jnp.maximum(jnp.abs(mu) - 1.1, 0.0)
+            bounds_loss = jnp.mean(jnp.sum(mu_excess**2, axis=-1))
+            total = (
+                policy_loss
+                + cfg.critic_coef * 0.5 * value_loss
+                - cfg.entropy_coef * entropy
+                + cfg.bounds_loss_coef * bounds_loss
+            )
+            old_sigma, sigma = mb["sigma"], jnp.exp(log_std)
+            kl = jnp.sum(
+                jnp.log(sigma / old_sigma)
+                + (old_sigma**2 + (mb["mu"] - mu) ** 2) / (2.0 * sigma**2)
+                - 0.5,
+                axis=-1,
+            )
+            return total, dict(
+                policy_loss=policy_loss,
+                value_loss=value_loss,
+                entropy=entropy,
+                kl=jnp.mean(kl),
+                bounds_loss=bounds_loss,
+            )
+
+        grad_fn = jax.grad(loss_fn, has_aux=True)
+        mb_seqs = self.mb_size // L
+
+        def mb_step(carry, idx):
+            params, opt_state, lr = carry
+            mb = jax.tree.map(lambda x: x[idx], batch)
+            grads, aux = grad_fn(params, mb)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: u * lr, updates)
+            params = optax.apply_updates(params, updates)
+            if cfg.lr_schedule == "adaptive":
+                lr = jnp.where(
+                    aux["kl"] > 2.0 * cfg.kl_threshold,
+                    jnp.maximum(lr / 1.5, cfg.min_lr),
+                    jnp.where(
+                        aux["kl"] < 0.5 * cfg.kl_threshold,
+                        jnp.minimum(lr * 1.5, cfg.max_lr),
+                        lr,
+                    ),
+                )
+            return (params, opt_state, lr), aux
+
+        def epoch_step(carry, k):
+            perm = jax.random.permutation(k, N_seq).reshape(
+                self.num_minibatches, mb_seqs
+            )
+            carry, auxs = jax.lax.scan(mb_step, carry, perm)
+            return carry, auxs
+
+        epoch_keys = jax.random.split(k_perm, cfg.mini_epochs)
+        (params, opt_state, lr), auxs = jax.lax.scan(
+            epoch_step, (ts.params, ts.opt_state, ts.lr), epoch_keys
+        )
+
+        kl_mean = auxs["kl"].mean()
+        guard = (ts.epoch >= 8) & (
+            ~jnp.isfinite(kl_mean) | (kl_mean > cfg.kl_guard)
+        )
+        (params, opt_state, obs_stats, value_stats, teacher_stats) = (
+            jax.tree.map(
+                lambda old, new: jnp.where(guard, old, new),
+                (ts.params, ts.opt_state, ts.obs_stats, ts.value_stats,
+                 ts.teacher_obs_stats),
+                (params, opt_state, obs_stats, value_stats, teacher_stats),
+            )
+        )
+        lr = jnp.where(guard, jnp.maximum(ts.lr / 2.0, cfg.min_lr), lr)
+
+        stats = dict(
+            reward_mean=traj.reward.mean() / cfg.reward_scale,
+            episode_done_frac=traj.done.mean(),
+            kl=kl_mean,
+            kl_guard_triggered=guard.astype(jnp.float32),
+            policy_loss=auxs["policy_loss"].mean(),
+            value_loss=auxs["value_loss"].mean(),
+            entropy=auxs["entropy"].mean(),
+            lr=lr,
+            success_rate_ewma=(
+                infos["success_rate_ewma"][-1]
+                if infos is not None and "success_rate_ewma" in infos
+                else jnp.zeros(())
+            ),
+        )
+        new_ts = TrainState(
+            params=params,
+            opt_state=opt_state,
+            obs_stats=obs_stats,
+            value_stats=value_stats,
+            lr=lr,
+            env_state=env_state,
+            last_obs=last_obs,
+            key=key,
+            epoch=ts.epoch + 1,
+            teacher_obs_stats=teacher_stats,
+            last_teacher_obs=(
+                last_teacher if cfg.asymmetric_critic else ts.last_teacher_obs
+            ),
+            hidden=last_hidden,
+        )
+        return new_ts, stats
+
     # --- inference ----------------------------------------------------------
 
-    def act(self, ts: TrainState, obs, deterministic=True, key=None):
+    def act(self, ts: TrainState, obs, deterministic=True, key=None,
+            hidden=None):
+        """Policy action for `obs`. For recurrent policies pass (and carry
+        forward) `hidden`; returns (action, new_hidden) in that case."""
         nobs = normalize(ts.obs_stats, obs) if self.cfg.normalize_input else obs
+        if self.recurrent:
+            if hidden is None:
+                hidden = self.init_carry(obs.shape[0])
+            a_carry = (
+                hidden["actor"] if self.cfg.asymmetric_critic else hidden
+            )
+            mu, log_std, _, a_carry2 = self.net.apply(
+                self._actor_params(ts.params), nobs, a_carry
+            )
+            new_hidden = (
+                {**hidden, "actor": a_carry2}
+                if self.cfg.asymmetric_critic
+                else a_carry2
+            )
+            a = (
+                mu
+                if deterministic
+                else mu + jnp.exp(log_std) * jax.random.normal(key, mu.shape)
+            )
+            return a, new_hidden
         mu, log_std, _ = self.net.apply(self._actor_params(ts.params), nobs)
         if deterministic:
             return mu

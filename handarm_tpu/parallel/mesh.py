@@ -52,11 +52,50 @@ def shard_env_state(mesh: Mesh, tree):
 
 
 def shard_train_state(mesh: Mesh, ts):
-    """TrainState placement: env_state/last_obs sharded on env axis,
-    everything else (params, opt state, stats, scalars) replicated."""
+    """TrainState placement: per-env leaves (env_state, last_obs, teacher
+    obs, LSTM carries) sharded on the env axis, everything else (params,
+    opt state, stats, scalars) replicated."""
     rs = replicated(mesh)
     placed = jax.tree.map(lambda x: jax.device_put(x, rs), ts)
-    return placed._replace(
+    placed = placed._replace(
         env_state=shard_env_state(mesh, ts.env_state),
         last_obs=jax.device_put(ts.last_obs, env_sharding(mesh)),
     )
+    if getattr(ts, "last_teacher_obs", None) is not None:
+        placed = placed._replace(
+            last_teacher_obs=jax.device_put(
+                ts.last_teacher_obs, env_sharding(mesh)
+            )
+        )
+    if getattr(ts, "hidden", None) is not None:
+        placed = placed._replace(hidden=shard_env_state(mesh, ts.hidden))
+    return placed
+
+
+def assert_sharded(mesh: Mesh, ts) -> dict:
+    """Verify every TrainState leaf is placed as intended; returns a
+    summary {sharded: n, replicated: n}. Raises on any leaf that is
+    neither fully replicated nor env-axis sharded over this mesh."""
+    n = mesh.devices.size
+    counts = {"sharded": 0, "replicated": 0}
+
+    def check(path, x):
+        if not hasattr(x, "sharding"):
+            return
+        spec = getattr(x.sharding, "spec", None)
+        if spec is None:
+            raise AssertionError(f"{path}: no sharding")
+        if tuple(spec) and tuple(spec)[0] == DATA_AXIS:
+            counts["sharded"] += 1
+            assert x.shape[0] % n == 0, (path, x.shape)
+        elif all(s is None for s in tuple(spec)) or not tuple(spec):
+            counts["replicated"] += 1
+        else:
+            raise AssertionError(f"{path}: unexpected spec {spec}")
+
+    from jax.tree_util import tree_flatten_with_path
+
+    leaves, _ = tree_flatten_with_path(ts)
+    for path, leaf in leaves:
+        check(jax.tree_util.keystr(path), leaf)
+    return counts

@@ -39,17 +39,21 @@ def main(argv):
     force_platform(platform)
     setup_cache()
 
-    from handarm_tpu.envs.registry import env_from_yaml, make_env
+    from handarm_tpu.envs.registry import compose_task
     from handarm_tpu.learn.ppo import PPO, PPOConfig
     from handarm_tpu.parallel.mesh import make_mesh, shard_train_state
     from handarm_tpu.utils.logging import MetricsLogger
 
-    if task.endswith(".yaml"):
-        env, ppo_overrides = env_from_yaml(
-            task, [f"{k}={v}" for k, v in kv.items()]
-        )
-    else:
-        env, ppo_overrides = make_env(task, [f"{k}={v}" for k, v in kv.items()])
+    # yaml config-group composition (reference hydra cfg/ groups): registry
+    # defaults < configs/task/<task>.yaml < configs/train/<task>PPO.yaml <
+    # CLI key=value overrides. `task=` also accepts a yaml path directly.
+    env, ppo_overrides = compose_task(
+        task, [f"{k}={v}" for k, v in kv.items()]
+    )
+    if "hidden" in ppo_overrides and not isinstance(
+        ppo_overrides["hidden"], tuple
+    ):
+        ppo_overrides["hidden"] = tuple(ppo_overrides["hidden"])
     ppo = PPO(env, PPOConfig(**ppo_overrides))
 
     run_dir = os.path.join("runs", exp_name)
