@@ -155,7 +155,12 @@ class MotionLib:
     """Stacked motion clips on device with jittable sampling."""
 
     def __init__(self, motion_files, weights=None):
-        clips = [load_skeleton_motion(f) for f in motion_files]
+        # entries may be paths OR pre-loaded/retargeted clip dicts
+        # (learn/retarget.py output) in load_skeleton_motion format
+        clips = [
+            f if isinstance(f, dict) else load_skeleton_motion(f)
+            for f in motion_files
+        ]
         M = len(clips)
         T = max(c["local_rot"].shape[0] for c in clips)
         root_pos = np.zeros((M, T, 3), np.float32)
