@@ -41,8 +41,6 @@ class Dyn(NamedTuple):
     Mtilde: jnp.ndarray  # [B, nv, nv] PD-augmented mass matrix
     Minv: jnp.ndarray  # [B, nv, nv] its explicit inverse (Pallas on TPU)
     bias: jnp.ndarray  # [B, nv] C(q, qd) + g(q)
-    body_inertia_w: jnp.ndarray  # [B, nb, 6, 6] spatial inertia at origin
-    body_vel: jnp.ndarray  # [B, nb, 6]
 
     def solve(self, b: jnp.ndarray) -> jnp.ndarray:
         """Mtilde^-1 @ b for b: [B, nv] or [B, nv, k]."""
@@ -68,6 +66,109 @@ def _quat_mats(q):
     from handarm_tpu.math.quat import quat_to_matrix
 
     return quat_to_matrix(q)
+
+
+def body_coms_world(m: ModelArrays, fk: FK) -> jnp.ndarray:
+    """[B, nb, 3] world COM position of each moving body."""
+    from handarm_tpu.math.quat import quat_rotate
+
+    return fk.body_pos + quat_rotate(fk.body_quat, m.com[None])
+
+
+def mass_matrix_com(
+    m: ModelArrays, fk: FK, com_w: jnp.ndarray
+) -> jnp.ndarray:
+    """CRBA as an exact Gram product, COM-referenced — the TPU-native form.
+
+    For unit velocity of dof u, body n's COM moves at e_un = s_lin_u +
+    s_ang_u x c_n and rotates at s_ang_u, so the kinetic-energy metric is
+      M[u, v] = sum_n anc[n,u] anc[n,v] (m_n e_un.e_vn + w_u^T I_n w_v).
+    With L_n L_n^T = I_n (body-frame COM inertia, precomputed), stacking
+      G[u, (n,:)] = anc[n,u] [sqrt(m_n) e_un, L_n^T R_n^T s_ang_u]
+    gives M = G G^T: symmetric and PSD by construction, one batched matmul,
+    and no [B, nb, 6, 6] spatial-inertia tensors (whose 6x6 trailing dims
+    tile-pad catastrophically on TPU). Subtree intersection in a tree is
+    subtree(deeper) for comparable dofs and empty otherwise, so the double
+    ancestor mask reproduces the classic composite-rigid-body values exactly
+    (including the shared-body floating-base dofs, with no symmetrization
+    bookkeeping).
+    """
+    from handarm_tpu.math.quat import quat_rotate_inv
+
+    B, nv = fk.screw.shape[:2]
+    nb = com_w.shape[1]
+    s_ang = fk.screw[..., :3]  # [B, nv, 3]
+    s_lin = fk.screw[..., 3:]
+    # COM velocity per (dof u, body n): [B, nv, nb, 3]
+    e = s_lin[:, :, None, :] + jnp.cross(
+        s_ang[:, :, None, :], com_w[:, None, :, :]
+    )
+    # rotational part: L_n^T (R_n^T s_ang_u)
+    w_body = quat_rotate_inv(fk.body_quat[:, None], s_ang[:, :, None])
+    hhat = jnp.einsum("nji,bunj->buni", m.inertia_chol, w_body)
+    mask = m.ancestor_mask.T  # [nv, nb]: mask[u, n] = dof u moves body n
+    sqm = jnp.sqrt(m.mass)
+    G = jnp.concatenate([e * sqm[:, None], hhat], axis=-1)
+    G = (G * mask[None, :, :, None]).reshape(B, nv, nb * 6)
+    return jnp.einsum("buk,bvk->buv", G, G)
+
+
+def _apply_inertia_com(m: ModelArrays, fk: FK, com_w, mot: jnp.ndarray):
+    """I_n x for origin-Plücker motion x = (w, v): returns force (n_O, f)
+    using only 3-vector algebra: v_com = v + w x c; f = m v_com;
+    n_O = R I_b R^T w + c x f."""
+    from handarm_tpu.math.quat import quat_rotate, quat_rotate_inv
+
+    w, v = mot[..., :3], mot[..., 3:]
+    v_com = v + jnp.cross(w, com_w)
+    f = m.mass[:, None] * v_com
+    Iw = quat_rotate(
+        fk.body_quat,
+        jnp.einsum("nij,bnj->bni", m.inertia, quat_rotate_inv(fk.body_quat, w)),
+    )
+    n_O = Iw + jnp.cross(com_w, f)
+    return jnp.concatenate([n_O, f], axis=-1)
+
+
+def bias_forces_com(
+    m: ModelArrays,
+    fk: FK,
+    qd: jnp.ndarray,
+    gravity: jnp.ndarray,
+    com_w: jnp.ndarray,
+    body_vel: jnp.ndarray,
+) -> jnp.ndarray:
+    """COM-referenced bias torques (same recursion as `bias_forces`, no
+    [B, nb, 6, 6] tensors)."""
+    B = qd.shape[0]
+    a0 = jnp.concatenate(
+        [jnp.zeros((B, 3), qd.dtype), jnp.broadcast_to(-gravity, (B, 3))],
+        axis=-1,
+    )
+    nb = m.nb or m.nv
+    body_parent = m.body_parent if m.body_parent is not None else m.parent
+    dof_body = m.dof_body if m.dof_body is not None else np.arange(m.nv)
+    start = 6 if m.floating else 0
+    avp = []
+    for b in range(nb):
+        p = int(body_parent[b])
+        a_par = a0 if p < 0 else avp[p]
+        if m.floating and b == 0:
+            avp.append(a_par)
+            continue
+        i = int(np.nonzero(dof_body[start:] == b)[0][0]) + start
+        s_i = fk.screw[:, i]
+        avp.append(
+            jax.lax.optimization_barrier(
+                a_par + motion_cross(body_vel[:, b], s_i) * qd[:, i : i + 1]
+            )
+        )
+    avp = jnp.stack(avp, axis=1)  # [B, nb, 6]
+
+    Iv = _apply_inertia_com(m, fk, com_w, body_vel)
+    f = _apply_inertia_com(m, fk, com_w, avp) + force_cross(body_vel, Iv)
+    fc = jnp.einsum("nu,bni->bui", m.ancestor_mask, f)
+    return jnp.einsum("bui,bui->bu", fk.screw, fc)
 
 
 def mass_matrix(m: ModelArrays, fk: FK, I_spatial: jnp.ndarray) -> jnp.ndarray:
@@ -191,13 +292,13 @@ def compute_dyn(
 
     from handarm_tpu.ops.spd_inverse import spd_inverse
 
-    I_spatial = world_spatial_inertias(m, fk)
+    com_w = body_coms_world(m, fk)
     body_vel = body_velocities(m, fk, qd)
-    M = mass_matrix(m, fk, I_spatial)
+    M = mass_matrix_com(m, fk, com_w)
     Mt = pd_augmented_mass(m, M, kp, kd, h)
     Minv = spd_inverse(Mt)
-    bias = bias_forces(m, fk, qd, gravity, I_spatial, body_vel)
-    return Dyn(Mtilde=Mt, Minv=Minv, bias=bias, body_inertia_w=I_spatial, body_vel=body_vel)
+    bias = bias_forces_com(m, fk, qd, gravity, com_w, body_vel)
+    return Dyn(Mtilde=Mt, Minv=Minv, bias=bias)
 
 
 def chol_solve(chol: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

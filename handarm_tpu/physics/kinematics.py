@@ -50,6 +50,10 @@ class ModelArrays(NamedTuple):
     dof_body: np.ndarray | None = None  # [nv] body each dof drives
     body_parent: np.ndarray | None = None  # [nb] parent body (-1 = world)
     dof_keep: jnp.ndarray | None = None  # [nv, nv] mass-matrix upper mask
+    # [nb, 3, 3] square root of the body-frame COM inertia (I = L L^T),
+    # precomputed host-side; lets dynamics form the mass matrix as a Gram
+    # product without materializing [B, nb, 6, 6] spatial inertias
+    inertia_chol: jnp.ndarray | None = None
 
 
 def model_arrays(art: Articulation, dtype=jnp.float32) -> ModelArrays:
@@ -67,6 +71,11 @@ def model_arrays(art: Articulation, dtype=jnp.float32) -> ModelArrays:
     # body (the 6 floating-base dofs)
     anc_np = np.asarray(art.ancestor_mask)
     keep_np = anc_np[dof_body].T * np.triu(np.ones((nv, nv)))
+    # symmetric square root of each body's COM inertia via eigh (robust to
+    # degenerate point-mass links, where a Cholesky would NaN)
+    I_np = np.asarray(art.inertia, dtype=np.float64)
+    w, V = np.linalg.eigh(0.5 * (I_np + np.swapaxes(I_np, -1, -2)))
+    chol_np = V * np.sqrt(np.maximum(w, 0.0))[..., None, :]
     return ModelArrays(
         tree_pos=f(art.tree_pos),
         tree_quat=f(art.tree_quat),
@@ -89,6 +98,7 @@ def model_arrays(art: Articulation, dtype=jnp.float32) -> ModelArrays:
         dof_body=dof_body,
         body_parent=body_parent,
         dof_keep=f(keep_np),
+        inertia_chol=f(chol_np),
     )
 
 
