@@ -630,7 +630,12 @@ class _SoA(NamedTuple):
     screw: tuple  # 6 x [B, nv] (ang x,y,z, lin x,y,z)
     anc_slotT: jnp.ndarray  # [nv, C] dof -> slot coupling (robot-masked)
     anc_slot: jnp.ndarray  # [C, nv]
-    Minv: jnp.ndarray  # [B, nv, nv]
+    # Minv flattened to [B, nv*nv] (u-major): f32[B, nv, nv] tile-pads its
+    # (nv, nv) minor to (24, 128) on TPU — a ~10x physical blowup re-read
+    # EVERY sweep by the generalized-impulse apply. The 2D plane is compact;
+    # the matvec becomes elementwise-mul + one static-fold GEMM.
+    Minv2: jnp.ndarray  # [B, nv*nv]
+    fold: jnp.ndarray  # [nv*nv, nv] static: fold[u*nv+v, u] = 1
     sides: tuple  # of _SoASide
 
 
@@ -651,6 +656,9 @@ def _soa_from_prep(prep: _Prep) -> _SoA:
                   Iinv_c[..., 1, 1], Iinv_c[..., 1, 2], Iinv_c[..., 2, 2]),
             invm=invm_c,
         ))
+    B, nv = prep.Minv.shape[:2]
+    fold = np.zeros((nv * nv, nv), np.float32)
+    fold[np.arange(nv * nv), np.arange(nv * nv) // nv] = 1.0
     return _SoA(
         n=comps(prep.basis[:, :, 0]),
         t1=comps(prep.basis[:, :, 1]),
@@ -665,7 +673,8 @@ def _soa_from_prep(prep: _Prep) -> _SoA:
         anc_slotT=prep.anc_slot.T,
         anc_slot=prep.anc_slot,
         sides=tuple(sides),
-        Minv=prep.Minv,
+        Minv2=prep.Minv.reshape(B, nv * nv),
+        fold=jnp.asarray(fold, prep.Minv.dtype),
     )
 
 
@@ -718,7 +727,11 @@ def _apply_soa(s: _SoA, qd, lvc, avc, dP):
     T = [c @ s.anc_slot for c in (mx, my, mz, dPx, dPy, dPz)]  # 6 x [B, nv]
     gi = (s.screw[0] * T[0] + s.screw[1] * T[1] + s.screw[2] * T[2]
           + s.screw[3] * T[3] + s.screw[4] * T[4] + s.screw[5] * T[5])
-    qd = qd + jnp.sum(s.Minv * gi[:, None, :], axis=-1)
+    nv = qd.shape[-1]
+    # Minv @ gi from the flat [B, nv*nv] plane: elementwise * tiled gi,
+    # folded back per row by a static 0/1 GEMM (keeps the compact layout;
+    # see _SoA.Minv2)
+    qd = qd + (s.Minv2 * jnp.tile(gi, (1, nv))) @ s.fold
     for sd in s.sides:
         lvc = tuple(
             lvc[i] + sd.sign * ((d * sd.invm) @ sd.onehot)
@@ -737,6 +750,64 @@ def _apply_soa(s: _SoA, qd, lvc, avc, dP):
             for i, dw in enumerate((dwx, dwy, dwz))
         )
     return qd, lvc, avc
+
+
+def _use_pallas_sweeps(params: SolverParams, B: int, C: int) -> bool:
+    if params.jacobi_impl == "pallas_off":
+        return False
+    if params.jacobi_impl not in ("soa", "pallas"):
+        return False
+    if params.jacobi_impl == "soa" and jax.default_backend() != "tpu":
+        return False
+    from handarm_tpu.ops.contact_sweep import _pick_tile, _NBASE, _NSIDE
+
+    return _pick_tile(B, C, _NBASE + 2 * _NSIDE) > 0
+
+
+def _pallas_sweeps(s: _SoA, qd, lvc, avc, lam, params: SolverParams):
+    """Dispatch the fused VMEM-resident sweep kernel (ops/contact_sweep.py).
+
+    jacobi_impl: "soa" auto-upgrades to the kernel on TPU; "pallas" forces
+    it (interpreted off-TPU, for tests); "pallas_off" pins the scan path."""
+    from handarm_tpu.ops.contact_sweep import fused_jacobi_sweeps
+
+    plane_list = (
+        list(s.n) + list(s.t1) + list(s.t2) + list(s.pos)
+        + [s.bias, s.mu] + list(s.inv_d) + [s.gate]
+    )
+    side_onehots = []
+    signs = []
+    for sd in s.sides:
+        plane_list += list(sd.r) + list(sd.Iinv) + [sd.invm]
+        side_onehots.append((sd.onehot, sd.onehotT))
+        signs.append(sd.sign)
+    B = s.bias.shape[0]
+    K = s.sides[0].onehot.shape[1] if s.sides else 1
+    obj = (
+        jnp.stack(list(lvc) + list(avc))
+        if s.sides
+        else jnp.zeros((6, B, K), qd.dtype)
+    )
+    qd_o, obj_o, lam_o = fused_jacobi_sweeps(
+        planes=jnp.stack(plane_list),
+        screws=jnp.stack(list(s.screw)),
+        qd=qd,
+        minv2=s.Minv2,
+        obj=obj,
+        lam0=jnp.stack(list(lam)),
+        ancT=s.anc_slotT,
+        anc=s.anc_slot,
+        fold=s.fold,
+        side_onehots=side_onehots,
+        signs=tuple(signs),
+        iterations=params.iterations,
+        omega=params.relaxation,
+        interpret=jax.default_backend() != "tpu",
+    )
+    if s.sides:
+        lvc = (obj_o[0], obj_o[1], obj_o[2])
+        avc = (obj_o[3], obj_o[4], obj_o[5])
+    return qd_o, lvc, avc, (lam_o[0], lam_o[1], lam_o[2])
 
 
 def _solve_jacobi_soa(prep: _Prep, qd, lv, av, params: SolverParams,
@@ -777,6 +848,15 @@ def _solve_jacobi_soa(prep: _Prep, qd, lv, av, params: SolverParams,
             for i in range(3)
         )
         qd, lvc, avc = _apply_soa(s, qd, lvc, avc, dP0)
+
+    if _use_pallas_sweeps(params, B, C):
+        qd, lvc, avc, lam = _pallas_sweeps(s, qd, lvc, avc, lam, params)
+        impulse = jnp.stack(
+            [lam[0] * s.n[i] + lam[1] * s.t1[i] + lam[2] * s.t2[i]
+             for i in range(3)],
+            axis=-1,
+        )
+        return qd, jnp.stack(lvc, axis=-1), jnp.stack(avc, axis=-1), impulse
 
     # everything in the carry is 2D — immune to the scan-boundary layout
     # padding that motivated _carry_split for the AoS path
