@@ -34,29 +34,36 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def emit(sps: float, envs: int) -> None:
-    print(
-        json.dumps(
-            {
-                "metric": "env_steps_per_s",
-                "value": round(sps, 1),
-                "unit": "env-steps/s",
-                "vs_baseline": round(sps / 1e6, 4),
-                "envs": envs,
-            }
-        ),
-        flush=True,
-    )
+def emit(sps: float, envs: int, scene: str = "lift") -> None:
+    rec = {
+        "metric": "env_steps_per_s",
+        "value": round(sps, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(sps / 1e6, 4),
+        "envs": envs,
+    }
+    if scene != "lift":
+        rec["scene"] = scene
+    print(json.dumps(rec), flush=True)
 
 
-def measure(envs: int, steps: int, warmup: int) -> float:
+def measure(envs: int, steps: int, warmup: int, scene: str = "lift") -> float:
     import jax
 
-    from handarm_tpu.envs.hand_arm import HandArmConfig, HandArmEnv
-
     t0 = time.perf_counter()
-    cfg = HandArmConfig(num_envs=envs)
-    env = HandArmEnv(cfg)
+    if scene == "multiobj":
+        # the reference's centerpiece workload: bin of YCB objects,
+        # C~372 contact slots (cfg/task/Ur5SihMultiObjectManipulation.yaml)
+        from handarm_tpu.envs.registry import make_env
+
+        env, _ = make_env(
+            "Ur5SihMultiObjectManipulation", [f"num_envs={envs}"]
+        )
+    else:
+        from handarm_tpu.envs.hand_arm import HandArmConfig, HandArmEnv
+
+        cfg = HandArmConfig(num_envs=envs)
+        env = HandArmEnv(cfg)
 
     key = jax.random.PRNGKey(0)
     state, obs = jax.jit(env.reset)(key)
@@ -85,6 +92,8 @@ def main():
     p.add_argument("--steps", type=int, default=int(os.environ.get("BENCH_STEPS", 30)))
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--platform", default=None)
+    p.add_argument("--scene", default="lift", choices=["lift", "multiobj"],
+                   help="lift (default headline) or multiobj (C~372 slots)")
     p.add_argument("--skip-small", action="store_true",
                    help="skip the insurance small-shape measurement")
     args = p.parse_args()
@@ -99,13 +108,14 @@ def main():
 
     if not args.skip_small and args.envs > 1024:
         try:
-            sps = measure(1024, max(10, args.steps // 2), args.warmup)
-            emit(sps, 1024)
+            sps = measure(1024, max(10, args.steps // 2), args.warmup,
+                          args.scene)
+            emit(sps, 1024, args.scene)
         except Exception as e:  # insurance path must never kill the real run
             log(f"[bench] small-shape run failed: {e!r}")
 
-    sps = measure(args.envs, args.steps, args.warmup)
-    emit(sps, args.envs)
+    sps = measure(args.envs, args.steps, args.warmup, args.scene)
+    emit(sps, args.envs, args.scene)
 
 
 if __name__ == "__main__":
