@@ -148,9 +148,12 @@ def _sweep_kernel(
 
 
 def _pick_tile(B: int, C: int, n_planes: int) -> int:
-    """Largest power-of-two env tile keeping ~2x-buffered blocks under
-    ~10 MB of VMEM."""
-    budget = 10 * 1024 * 1024
+    """Largest power-of-two env tile keeping the double-buffered plane
+    blocks within ~5.5 MB of VMEM. The remaining ~10 MB of the 16 MB
+    scoped-vmem budget goes to the nv/K-padded side arrays (their small
+    trailing dims pad to 128 lanes), the outputs, and statics — measured:
+    bt=256 at C=80 totals ~16.5 MB and OOMs, bt=128 fits comfortably."""
+    budget = int(5.5 * 1024 * 1024)
     cp = ((C + 127) // 128) * 128
     for bt in (512, 256, 128, 64, 32, 16, 8):
         if B % bt:
