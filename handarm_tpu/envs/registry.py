@@ -163,7 +163,11 @@ def env_from_yaml(path: str, overrides: list[str] | None = None):
     rand_params = get(cfg, "rl.randomization_params.object_disturbance", {})
     hc = HandArmConfig(
         robot=cfg.get("robot", "ur5sih"),
-        num_envs=int(env_block.get("numEnvs", 1024)),
+        # both spellings: the yamls mirror the reference's camelCase
+        # `numEnvs`, but the documented CLI override is `env.num_envs=N`
+        # (train.py docstring) — the snake-case form wins when both are
+        # present since it is almost always a CLI override.
+        num_envs=int(env_block.get("num_envs", env_block.get("numEnvs", 1024))),
         episode_length=int(get(cfg, "rl.reset.max_episode_length", 200)),
         control_freq_inv=int(env_block.get("controlFrequencyInv", 3)),
         dt=float(get(cfg, "sim.dt", 1.0 / 60.0)),

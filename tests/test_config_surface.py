@@ -50,6 +50,17 @@ def test_compose_roundtrip(name, n_act):
     assert isinstance(ppo, dict)
 
 
+def test_env_dotted_num_envs_override_applies():
+    # regression: `env.num_envs=N` (the documented train.py form) was
+    # silently ignored for yaml hand-arm tasks because env_from_yaml only
+    # read the reference-camelCase `numEnvs` key — a run launched with
+    # env.num_envs=4096 trained at the yaml default 8192.
+    env, _ = compose_task(
+        "Ur5SihMultiObjectManipulation", ["env.num_envs=4"]
+    )
+    assert env.cfg.num_envs == 4
+
+
 def test_cli_overrides_beat_yaml():
     env, ppo = compose_task(
         "Cartpole", ["num_envs=16", "ppo.minibatch_size=64", "ppo.gamma=0.9"]
