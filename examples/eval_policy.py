@@ -25,6 +25,16 @@ def main(argv):
     ap.add_argument("--episodes", type=int, default=1)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument(
+        "--record", metavar="DIR", default=None,
+        help="write per-env depth/segmentation mp4s from the camera "
+        "pipeline into DIR (hand-arm tasks; use a small --envs — the "
+        "camera renders the whole batch)",
+    )
+    ap.add_argument(
+        "--record-envs", type=int, default=1,
+        help="how many envs to record (ids 0..N-1)",
+    )
     args = ap.parse_args(argv)
 
     from handarm_tpu.utils.jaxinit import force_platform, setup_cache
@@ -41,6 +51,26 @@ def main(argv):
     from handarm_tpu.utils.checkpoint import load_checkpoint
 
     env, ppo_over = make_env(args.task, [f"env.num_envs={args.envs}"])
+
+    recorder = None
+    if args.record:
+        import dataclasses
+
+        from handarm_tpu.envs.camera import CameraConfig
+        from handarm_tpu.envs.hand_arm import HandArmEnv
+        from handarm_tpu.utils.visualization import CameraRecorder
+
+        if not isinstance(env, HandArmEnv):
+            raise SystemExit("--record supports hand-arm tasks only")
+        if not env.cfg.cameras:
+            # inject the default overhead camera (reference topview)
+            env = HandArmEnv(
+                dataclasses.replace(env.cfg, cameras=(CameraConfig(),))
+            )
+        recorder = CameraRecorder(
+            env, args.record, env_ids=range(args.record_envs)
+        )
+
     ppo = PPO(env, PPOConfig(**ppo_over))
     ts = ppo.init(jax.random.PRNGKey(args.seed))
     ts = load_checkpoint(args.checkpoint, example_tree=ts)
@@ -74,6 +104,9 @@ def main(argv):
             rew = rew + res.reward
             if hasattr(env_state, "task"):
                 succ = succ | env_state.task.goal_reached_before
+            if recorder is not None:
+                for p in recorder.add(env_state, done=res.done):
+                    print(f"wrote {p}", flush=True)
         sr = float(jnp.mean(succ.astype(jnp.float32)))
         mr = float(jnp.mean(rew))
         print(f"episode {ep}: success_rate={sr:.3f} mean_return={mr:.2f}",

@@ -143,6 +143,144 @@ def render_pointcloud(cloud, path: str | None = None):
     return fig
 
 
+class CameraRecorder:
+    """Per-env MP4 capture from the camera observable pipeline — the
+    counterpart of the reference's `_write_recordings`
+    (observable_vec_task.py:223-274): buffers each recorded env's depth and
+    segmentation frames from the point-rasterized camera sensors and, when
+    that env's episode ends, writes
+    `<out_dir>/{cam}_{type}_env_{i}_episode_{n}.mp4` (cv2; PNG-strip
+    fallback) and clears the buffer.
+
+    Intended for eval/replay env counts (it renders the full batch through
+    the same `render_points` path the camera observables use, then selects
+    `env_ids` host-side). Depth maps to grayscale over `depth_range` like
+    the reference; segmentation ids map through a fixed color table.
+    """
+
+    def __init__(self, env, out_dir: str, env_ids=(0,),
+                 depth_range: tuple = (0.0, 2.5)):
+        import jax
+        import jax.numpy as jnp
+
+        cams = tuple(getattr(env.cfg, "cameras", ()) or ())
+        if not cams:
+            raise ValueError(
+                "CameraRecorder needs an env built with cfg.cameras "
+                "(yaml `cameras:` block)"
+            )
+        self.env = env
+        self.cams = cams
+        self.out_dir = out_dir
+        self.env_ids = tuple(int(i) for i in env_ids)
+        self.depth_range = depth_range
+        self.episode_count = {i: 0 for i in self.env_ids}
+        # frames[cam][type][env_id] -> list of HxWx3 uint8
+        self.frames = {
+            c.name: {t: {i: [] for i in self.env_ids}
+                     for t in ("depth", "segmentation")}
+            for c in cams
+        }
+
+        def render_all(state):
+            from handarm_tpu.envs.camera import render_points
+            from handarm_tpu.envs.hand_arm import ObsContext
+
+            ctx = ObsContext(env, state, None)
+            pts, segs, _ = env._camera_scene_points(ctx)
+            out = {}
+            for cam in cams:
+                r = render_points(cam, pts, segs.astype(jnp.int32), valid=segs)
+                out[cam.name] = (r.depth, r.segmentation)
+            return out
+
+        self._render = jax.jit(render_all)
+
+    # fixed segmentation palette: 0 bg, 1 robot, 3+k objects
+    _SEG_COLORS = np.array(
+        [
+            [0, 0, 0], [180, 180, 180], [80, 80, 80], [31, 119, 180],
+            [255, 127, 14], [44, 160, 44], [214, 39, 40], [148, 103, 189],
+            [140, 86, 75], [227, 119, 194], [127, 127, 127], [188, 189, 34],
+        ],
+        dtype=np.uint8,
+    )
+
+    def _depth_to_rgb(self, d: np.ndarray) -> np.ndarray:
+        lo, hi = self.depth_range
+        g = np.clip((d - lo) / (hi - lo), 0.0, 1.0)
+        g8 = (g * 255).astype(np.uint8)
+        return np.stack([g8] * 3, axis=-1)
+
+    def _seg_to_rgb(self, s: np.ndarray) -> np.ndarray:
+        return self._SEG_COLORS[np.clip(s, 0, len(self._SEG_COLORS) - 1)]
+
+    def add(self, state, done=None) -> list[str]:
+        """Append this step's camera frames for the recorded envs; flush an
+        env's buffers to mp4 when `done[env]` is set. Returns paths written
+        this call."""
+        rendered = self._render(state)
+        done_np = None if done is None else np.asarray(done)
+        written: list[str] = []
+        for cam in self.cams:
+            depth, seg = rendered[cam.name]
+            depth = np.asarray(depth)
+            seg = np.asarray(seg)
+            for i in self.env_ids:
+                self.frames[cam.name]["depth"][i].append(
+                    self._depth_to_rgb(depth[i])
+                )
+                self.frames[cam.name]["segmentation"][i].append(
+                    self._seg_to_rgb(seg[i])
+                )
+        if done_np is not None:
+            for i in self.env_ids:
+                if done_np[i]:
+                    written.extend(self.flush(i))
+        return written
+
+    def flush(self, env_id: int) -> list[str]:
+        """Write and clear env_id's buffered frames (one mp4 per
+        camera x image type), named like the reference's recordings."""
+        self.episode_count[env_id] += 1
+        n = self.episode_count[env_id]
+        fps = 1.0 / (self.env.cfg.dt * self.env.cfg.control_freq_inv)
+        os.makedirs(self.out_dir, exist_ok=True)
+        paths = []
+        for cam in self.cams:
+            for typ in ("depth", "segmentation"):
+                frames = self.frames[cam.name][typ][env_id]
+                if not frames:
+                    continue
+                path = os.path.join(
+                    self.out_dir,
+                    f"{cam.name}_{typ}_env_{env_id}_episode_{n}.mp4",
+                )
+                _write_video(frames, path, fps)
+                paths.append(path)
+                self.frames[cam.name][typ][env_id] = []
+        return paths
+
+
+def _write_video(frames: list[np.ndarray], path: str, fps: float) -> None:
+    try:
+        import cv2
+
+        h, w, _ = frames[0].shape
+        vw = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+        )
+        for f in frames:
+            vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        vw.release()
+    except Exception:
+        base = os.path.splitext(path)[0]
+        import matplotlib.pyplot as plt  # noqa: F401
+
+        for i, f in enumerate(frames):
+            plt.imsave(f"{base}_{i:04d}.png", f)
+
+
 class EpisodeRecorder:
     """Record per-step frames of one env and write an MP4 (cv2) or a PNG
     strip — the analog of the reference's camera mp4 recorder

@@ -82,3 +82,47 @@ def test_env_camera_observables():
     op = np.asarray(state.physics.objects.pos[:, 0])
     dist = np.linalg.norm(cloud[..., :3] - op[:, None], axis=-1)
     assert dist[valid].max() < 0.2
+
+
+def test_camera_recorder_writes_per_env_mp4(tmp_path):
+    """Per-env mp4 capture from the camera pipeline (reference
+    observable_vec_task.py:223-274 _write_recordings): frames buffer per
+    env, flush to {cam}_{type}_env_{i}_episode_{n}.mp4 on that env's done."""
+    import os
+
+    from handarm_tpu.envs.hand_arm import HandArmConfig, HandArmEnv
+    from handarm_tpu.utils.visualization import CameraRecorder
+
+    cam = CameraConfig(width=48, height=32)
+    cfg = HandArmConfig(
+        num_envs=2, episode_length=3,
+        observations=("ur5_joint_pos",),
+        cameras=(cam,),
+    )
+    env = HandArmEnv(cfg)
+    rec = CameraRecorder(env, str(tmp_path), env_ids=(0, 1))
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    written = []
+    for _ in range(4):  # episode_length=3 -> at least one done per env
+        state, res = step(state, jnp.zeros((2, env.num_actions)))
+        written += rec.add(state, done=res.done)
+    assert written, "no videos flushed on episode end"
+    for path in written:
+        base = os.path.basename(path)
+        assert base.startswith("topview_")
+        assert "_env_" in base and "_episode_" in base
+        # cv2 mp4 or PNG-strip fallback must produce bytes on disk
+        if os.path.exists(path):
+            assert os.path.getsize(path) > 0
+        else:
+            import glob
+            assert glob.glob(os.path.splitext(path)[0] + "_*.png")
+    # buffers for flushed envs were cleared
+    for i in (0, 1):
+        n = rec.episode_count[i]
+        if n:
+            assert all(
+                len(rec.frames["topview"][t][i]) < 4
+                for t in ("depth", "segmentation")
+            )
