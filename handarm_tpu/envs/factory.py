@@ -21,8 +21,9 @@ Variants (cfg.task):
   RailSpec.spin); yaw rotation advances it down the thread via the M16
   pitch (2 mm/turn), the env couples theta -> axial travel. Success =
   nut reaches the thread bottom (factory_task_nut_bolt_screw.py).
-- "gears": FactoryEnvGears scene — gear base + small/medium/large gears
-  (factory_env_gears.py). The reference FactoryTaskGears reward is a
+- "gears": FactoryEnvGears scene — gear base + small/medium gears, 3
+  bodies (factory_env_gears.py; the large gear's mesh is absent from the
+  reference asset tree). The reference FactoryTaskGears reward is a
   scaffold (factory_task_gears.py:119-125 `_update_rew_buf: pass`), so
   this variant is scene/control/obs parity with zero task reward.
 - "insertion": FactoryEnvInsertion scene — round 8 mm peg + hole from the

@@ -728,10 +728,18 @@ def _apply_soa(s: _SoA, qd, lvc, avc, dP):
     gi = (s.screw[0] * T[0] + s.screw[1] * T[1] + s.screw[2] * T[2]
           + s.screw[3] * T[3] + s.screw[4] * T[4] + s.screw[5] * T[5])
     nv = qd.shape[-1]
-    # Minv @ gi from the flat [B, nv*nv] plane: elementwise * tiled gi,
-    # folded back per row by a static 0/1 GEMM (keeps the compact layout;
-    # see _SoA.Minv2)
-    qd = qd + (s.Minv2 * jnp.tile(gi, (1, nv))) @ s.fold
+    if jax.default_backend() == "tpu":
+        # Minv @ gi from the flat [B, nv*nv] plane: elementwise * tiled gi,
+        # folded back per row by a static 0/1 GEMM — keeps the compact
+        # layout (f32[B,nv,nv] tile-pads its minor dims ~10x on TPU and is
+        # re-read every sweep; see _SoA.Minv2)
+        qd = qd + (s.Minv2 * jnp.tile(gi, (1, nv))) @ s.fold
+    else:
+        # CPU/GPU have no tile-padding problem; the dense batched matvec
+        # is both faster and keeps sweep numerics bit-identical with the
+        # pre-flattening path (learning tests are trajectory-sensitive)
+        Minv = s.Minv2.reshape(qd.shape[0], nv, nv)
+        qd = qd + jnp.sum(Minv * gi[:, None, :], axis=-1)
     for sd in s.sides:
         lvc = tuple(
             lvc[i] + sd.sign * ((d * sd.invm) @ sd.onehot)
