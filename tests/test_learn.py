@@ -193,3 +193,52 @@ def test_pbt_launcher_and_best_archive(tmp_path):
     best_dir = tmp_path / "best"
     metas = [f for f in best_dir.iterdir() if f.suffix == ".json"]
     assert len(metas) == 2  # 0.5 and 0.9 archived, 0.4 rejected
+
+
+def test_pbt_slurm_ngc_backends(tmp_path):
+    """Launcher backends (reference pbt/launcher/run_slurm.py, run_ngc.py):
+    sbatch scripts + command lines are emitted print-only by default; the
+    NGC template substitution matches the reference's placeholder scheme."""
+    from handarm_tpu.parallel.launch_pbt import (
+        emit_ngc,
+        emit_slurm,
+        experiment_grid,
+    )
+
+    cmds = experiment_grid(
+        ["python", "train.py", "task=Ur5SihLift"], {"seed": [1, 2]}
+    )
+    assert len(cmds) == 2 and cmds[0][-1] == "seed=1"
+
+    jobs = emit_slurm(cmds, str(tmp_path / "slurm"), partition="tpu",
+                      timeout="12:00:00")
+    assert len(jobs) == 2
+    for script, cmdline in jobs:
+        body = open(script).read()
+        assert body.startswith("#!/bin/bash")
+        assert "train.py task=Ur5SihLift" in body
+        assert "-p tpu" in cmdline and "--time 12:00:00" in cmdline
+        assert cmdline.startswith("sbatch")
+
+    tmpl = "ngc batch run --name {{ name }} \\\n  --command '{{ experiment_cmd }}'"
+    lines = emit_ngc(cmds, tmpl, names=["a", "b"])
+    assert "--name a" in lines[0] and "seed=2" in lines[1]
+    assert "\\" not in lines[0]  # whitespace-normalized like the reference
+
+
+def test_pbt_restart_argv_rebuild():
+    """Full-process restart argv (reference pbt.py:123-177): stale mutable
+    overrides and resume= are replaced, everything else is preserved."""
+    import train as train_mod
+
+    argv = [
+        "task=Ur5SihLift", "experiment=p0", "ppo.learning_rate=3e-4",
+        "pbt.policy_idx=0", "pbt.num_policies=4", "resume=auto", "seed=5",
+    ]
+    new = train_mod.pbt_restart_argv(
+        argv, {"learning_rate": 0.001, "e_clip": 0.2}
+    )
+    assert "ppo.learning_rate=0.001" in new and "ppo.e_clip=0.2" in new
+    assert "ppo.learning_rate=3e-4" not in new
+    assert new.count("resume=auto") == 1
+    assert "pbt.policy_idx=0" in new and "seed=5" in new  # preserved

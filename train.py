@@ -20,6 +20,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 
+_PBT_MUTABLE = (
+    "learning_rate", "e_clip", "kl_threshold", "entropy_coef", "reward_scale"
+)
+
+
+def pbt_restart_argv(argv, new_hparams: dict) -> list[str]:
+    """Rebuild the train.py argv for a PBT full-process restart (reference
+    pbt.py:123-177 restarts via os.execv with the winner's checkpoint and
+    mutated hyperparameters): drop stale ppo.<mutable> and resume=
+    overrides, append the mutated values, resume from the newest periodic
+    checkpoint (which the caller just wrote with the donor's weights)."""
+    stale = {f"ppo.{k}" for k in new_hparams} | {"resume"}
+    kept = [a for a in argv if a.split("=", 1)[0] not in stale]
+    return kept + [f"ppo.{k}={v}" for k, v in new_hparams.items()] + [
+        "resume=auto"
+    ]
+
+
 def main(argv):
     overrides = [a for a in argv if "=" in a]
     kv = dict(o.split("=", 1) for o in overrides)
@@ -31,6 +49,13 @@ def main(argv):
     exp_name = kv.pop("experiment", task)
     resume = kv.pop("resume", "")  # "" | "auto" | path to a ckpt .npz
     save_every = int(kv.pop("save_every", 100))
+    # PBT surface (reference pbt/pbt.py observer, enabled via pbt.* keys):
+    # population exchange through a shared-FS workspace + full-process
+    # exec restart when this policy is a replacement candidate.
+    pbt_kv = {k[4:]: v for k, v in kv.items() if k.startswith("pbt.")}
+    for k in list(kv):
+        if k.startswith("pbt."):
+            kv.pop(k)
 
     from handarm_tpu.utils.jaxinit import force_platform, setup_cache
 
@@ -99,6 +124,28 @@ def main(argv):
     )
     from handarm_tpu.utils.checkpoint import save_checkpoint
 
+    pbt_cfg = None
+    if pbt_kv:
+        import numpy as np
+
+        from handarm_tpu.parallel.pbt import PbtConfig, pbt_step
+
+        pbt_objective_key = pbt_kv.pop("objective", "success_rate_ewma")
+        pbt_cfg = PbtConfig(
+            workspace=pbt_kv.pop(
+                "workspace", os.path.join("runs", exp_name, "pbt_workspace")
+            ),
+            policy_idx=int(pbt_kv.pop("policy_idx", 0)),
+            num_policies=int(pbt_kv.pop("num_policies", 8)),
+            interval_steps=int(float(pbt_kv.pop("interval_steps", 10_000_000))),
+            **{k: float(v) for k, v in pbt_kv.items()},
+        )
+        pbt_rng = np.random.default_rng(seed * 997 + pbt_cfg.policy_idx)
+        pbt_hparams = {
+            k: float(getattr(ppo.cfg, k)) for k in _PBT_MUTABLE
+        }
+        pbt_last_interval = (start_it * steps_per_iter) // pbt_cfg.interval_steps
+
     best_reward = float("-inf")
     t_start = time.time()
     for it in range(start_it, max_iterations):
@@ -109,6 +156,35 @@ def main(argv):
         stats["env_steps_per_s"] = steps_per_iter / dt
         stats["total_env_steps"] = (it + 1) * steps_per_iter
         logger.log(it, stats)
+        if pbt_cfg is not None:
+            frames = int(stats["total_env_steps"])
+            if frames // pbt_cfg.interval_steps > pbt_last_interval:
+                pbt_last_interval = frames // pbt_cfg.interval_steps
+                objective = float(
+                    stats.get(pbt_objective_key, stats["reward_mean"])
+                )
+                new_ts, new_hp, restarted = pbt_step(
+                    pbt_cfg, ts, pbt_hparams, frames, objective,
+                    example_tree=ts, rng=pbt_rng,
+                )
+                if restarted:
+                    # reference semantics (pbt.py:123-177): write the
+                    # donor's weights as our newest periodic checkpoint,
+                    # then replace the process image with a restart that
+                    # resumes from it under the mutated hyperparameters.
+                    save_checkpoint(
+                        os.path.join(run_dir, "nn"), new_ts, step=it + 1
+                    )
+                    new_argv = pbt_restart_argv(argv, new_hp)
+                    print(
+                        f"[pbt] policy {pbt_cfg.policy_idx} restarts from "
+                        f"donor at iter {it + 1}: {new_hp}", flush=True,
+                    )
+                    logger.close()
+                    os.execv(
+                        sys.executable,
+                        [sys.executable, os.path.abspath(__file__)] + new_argv,
+                    )
         if it % 10 == 0 or it == max_iterations - 1:
             print(
                 f"it {it:5d} | {stats['env_steps_per_s']:>10,.0f} sps | "
