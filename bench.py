@@ -47,7 +47,8 @@ def emit(sps: float, envs: int, scene: str = "lift") -> None:
     print(json.dumps(rec), flush=True)
 
 
-def measure(envs: int, steps: int, warmup: int, scene: str = "lift") -> float:
+def measure(envs: int, steps: int, warmup: int, scene: str = "lift",
+            policy: str | None = None) -> float:
     import jax
 
     t0 = time.perf_counter()
@@ -56,7 +57,7 @@ def measure(envs: int, steps: int, warmup: int, scene: str = "lift") -> float:
         # C~372 contact slots (cfg/task/Ur5SihMultiObjectManipulation.yaml)
         from handarm_tpu.envs.registry import make_env
 
-        env, _ = make_env(
+        env, ppo_over = make_env(
             "Ur5SihMultiObjectManipulation", [f"num_envs={envs}"]
         )
     else:
@@ -64,23 +65,54 @@ def measure(envs: int, steps: int, warmup: int, scene: str = "lift") -> float:
 
         cfg = HandArmConfig(num_envs=envs)
         env = HandArmEnv(cfg)
+        ppo_over = {}
 
     key = jax.random.PRNGKey(0)
     state, obs = jax.jit(env.reset)(key)
-    step = jax.jit(env.step)
 
-    k = jax.random.PRNGKey(1)
-    actions = 0.1 * jax.random.normal(k, (envs, env.num_actions))
+    if policy:
+        # trained-policy-in-the-loop: policy inference + env step per tick
+        # (what a deployment/eval loop actually pays)
+        import jax.numpy as jnp
+
+        from handarm_tpu.learn.ppo import PPO, PPOConfig
+        from handarm_tpu.utils.checkpoint import load_checkpoint
+
+        ppo = PPO(env, PPOConfig(**ppo_over))
+        ts = load_checkpoint(policy, example_tree=ppo.init(key))
+
+        @jax.jit
+        def step(state, obs):
+            mu, _, _ = ppo._policy_value(
+                ts, ts.params, obs, jnp.zeros((obs.shape[0], 0))
+            )
+            state, res = env.step(state, mu)
+            return state, res
+
+        carry = obs
+
+        def tick(state, carry):
+            state, res = step(state, carry)
+            return state, res.obs, res
+
+    else:
+        step = jax.jit(env.step)
+        k = jax.random.PRNGKey(1)
+        carry = 0.1 * jax.random.normal(k, (envs, env.num_actions))
+
+        def tick(state, carry):
+            state, res = step(state, carry)
+            return state, carry, res
 
     for _ in range(warmup):
-        state, res = step(state, actions)
+        state, carry, res = tick(state, carry)
     jax.block_until_ready(res.reward)
     log(f"[bench] envs={envs} build+compile+warmup "
         f"{time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, res = step(state, actions)
+        state, carry, res = tick(state, carry)
     jax.block_until_ready(res.reward)
     dt = time.perf_counter() - t0
     return envs * steps / dt
@@ -96,6 +128,9 @@ def main():
                    help="lift (default headline) or multiobj (C~372 slots)")
     p.add_argument("--skip-small", action="store_true",
                    help="skip the insurance small-shape measurement")
+    p.add_argument("--policy", default=None, metavar="CKPT",
+                   help="measure trained-policy-in-the-loop throughput "
+                   "(policy inference + env step) with this checkpoint")
     args = p.parse_args()
 
     from handarm_tpu.utils.jaxinit import force_platform, setup_cache
@@ -109,12 +144,12 @@ def main():
     if not args.skip_small and args.envs > 1024:
         try:
             sps = measure(1024, max(10, args.steps // 2), args.warmup,
-                          args.scene)
+                          args.scene, args.policy)
             emit(sps, 1024, args.scene)
         except Exception as e:  # insurance path must never kill the real run
             log(f"[bench] small-shape run failed: {e!r}")
 
-    sps = measure(args.envs, args.steps, args.warmup, args.scene)
+    sps = measure(args.envs, args.steps, args.warmup, args.scene, args.policy)
     emit(sps, args.envs, args.scene)
 
 
