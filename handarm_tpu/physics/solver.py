@@ -242,7 +242,36 @@ def _prepare(
 
     J = MinvJT = None
     pd = jnp.bfloat16 if params.prep_dtype == "bf16" else dtype
-    if has_robot.any():
+    use_deff_kernel = (
+        params.mode != "gs"
+        and (
+            params.jacobi_impl == "pallas"
+            or (
+                params.jacobi_impl == "soa"
+                and jax.default_backend() == "tpu"
+            )
+        )
+    )
+    if has_robot.any() and use_deff_kernel:
+        # fused VMEM-resident effective-mass kernel: no [B, C, nv, 3]
+        # intermediates in HBM (ops/prep_deff.py; ~3.8 -> <1 ms/sim-step
+        # at fleet batch)
+        from handarm_tpu.ops.prep_deff import robot_deff
+
+        screws6 = jnp.moveaxis(fk.screw, -1, 0)  # [6, B, nv]
+        pos3 = jnp.moveaxis(contacts.pos, -1, 0)  # [3, B, C]
+        basis9 = jnp.moveaxis(basis, (2, 3), (0, 1)).reshape(
+            9, B, C
+        )  # (d, xyz) major
+        d_robot = jnp.moveaxis(
+            robot_deff(
+                screws6, pos3, basis9, anc_slot,
+                Minv.reshape(B, nv * nv),
+                interpret=jax.default_backend() != "tpu",
+            ),
+            0, -1,
+        )  # [B, C, 3]
+    elif has_robot.any():
         # robot contribution to the per-direction effective masses:
         #   d_eff[c, d] = v_d^T Minv v_d with v_d[u] = anc * screw_u . (p x w_d, w_d)
         # Computed directly — the full 3x3 Delassus blocks D/DB that an
@@ -649,8 +678,12 @@ def _soa_from_prep(prep: _Prep) -> _SoA:
         if sd is None:
             continue
         kidx, r, Iinv_c, invm_c, mask, sign, onehot = sd
+        # sign must stay a STATIC Python float (the pallas kernel bakes it
+        # in); prep.sides' sign leaf becomes a tracer whenever _Prep
+        # crosses a jit boundary, so derive it from the side name instead
         sides.append(_SoASide(
-            sign=sign, onehot=onehot, onehotT=onehot.T,
+            sign=(1.0 if key == "a" else -1.0), onehot=onehot,
+            onehotT=onehot.T,
             r=comps(r),
             Iinv=(Iinv_c[..., 0, 0], Iinv_c[..., 0, 1], Iinv_c[..., 0, 2],
                   Iinv_c[..., 1, 1], Iinv_c[..., 1, 2], Iinv_c[..., 2, 2]),
