@@ -542,6 +542,13 @@ class PPO:
                 else jnp.zeros(())
             ),
         )
+        if infos is not None and "per_object_success_ewma" in infos:
+            # device-side per-object EWMAs ([T, K] over the rollout) ->
+            # one scalar column per object in metrics.jsonl (reference
+            # multi_object_manipulation.py per-object success accounting)
+            po = infos["per_object_success_ewma"][-1]
+            for k in range(po.shape[-1]):
+                stats[f"success_ewma_obj{k}"] = po[..., k]
         new_ts = TrainState(
             params=params,
             opt_state=opt_state,
@@ -886,6 +893,13 @@ class PPO:
                 else jnp.zeros(())
             ),
         )
+        if infos is not None and "per_object_success_ewma" in infos:
+            # device-side per-object EWMAs ([T, K] over the rollout) ->
+            # one scalar column per object in metrics.jsonl (reference
+            # multi_object_manipulation.py per-object success accounting)
+            po = infos["per_object_success_ewma"][-1]
+            for k in range(po.shape[-1]):
+                stats[f"success_ewma_obj{k}"] = po[..., k]
         new_ts = TrainState(
             params=params,
             opt_state=opt_state,
