@@ -7,17 +7,22 @@ direction d, the robot's contribution to the effective mass:
     v[u] = anc[c, u] * ((screw_ang_u x p_c + screw_lin_u) . w_d)
 
 The XLA path materializes the [B, C, nv, 3] `arm`/`v` tensors and a
-batched [nv, nv] x [nv, C*3] GEMM in HBM — >400 MB of intermediates at
-fleet batch (the dominant prep cost: 3.8 ms/sim-step of the measured
-12.3 at B=8192, C=127; docs/performance.md). This kernel keeps one
-env-tile entirely in VMEM: V planes are built per dof (17-24 unrolled
-cross+dot ops on [Bt, C] tiles), and the quadratic form accumulates over
-symmetric (u, w) pairs with per-env Minv entries broadcast from the flat
-[Bt, nv*nv] plane — no [B, C, nv] tensor ever touches HBM.
+batched [nv, nv] x [nv, C*3] micro-GEMM in HBM — >400 MB of intermediates
+at fleet batch (3.8 of the 12.3 ms/sim-step profile at B=8192, C=127;
+docs/performance.md). This kernel keeps one env-tile fully VMEM-resident.
 
-Replaces the effective-mass part of what PhysX's prep pass does per
-contact on GPU (reference solver budget: isaacgymenvs/cfg/task/
-Ur5SihBase.yaml sim block).
+Layout rules learned the hard way (Mosaic/TPU):
+- the lane (minor) dim cannot be dynamically sliced -> every per-dof read
+  uses a STATIC lane index (python-unrolled dof loops) or a dynamic slice
+  of the MAJOR dim (Minv is passed as [nv, B, nv] so row u is a major-dim
+  slice and entry (u, w) a static lane column);
+- fully unrolling the nv^2-term quadratic form stack-allocates every
+  temporary (~30 MB scoped VMEM > the 16 MB limit) -> V planes live in
+  ONE reused scratch buffer and the dof loop is unrolled only per
+  direction (nv iterations of ~2*nv short-lived temporaries).
+
+Replaces the effective-mass part of PhysX's contact-prep pass (reference
+solver budget: isaacgymenvs/cfg/task/Ur5SihBase.yaml sim block).
 """
 
 from __future__ import annotations
@@ -30,54 +35,70 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _deff_kernel(nv: int, screws, pos, basis, anc, minv2, out):
-    """screws [6, Bt, nv]; pos [3, Bt, C]; basis [9, Bt, C];
-    anc [C, nv] static; minv2 [Bt, nv*nv]; out [3, Bt, C]."""
-    px, py, pz = pos[0], pos[1], pos[2]
+def _deff_kernel(nv: int, screws, pos, basis, ancT, minv3, out, vbuf):
+    """screws [nv, Bt, 6] (dof-major); pos [3, Bt, C]; basis [9, Bt, C];
+    ancT [nv, C] static; minv3 [nv, Bt, nv] (dof-major Minv rows);
+    out [3, Bt, C]; vbuf [nv, Bt, C] VMEM scratch.
 
-    # V[d][u]: [Bt, C] planes, nv*3 of them — all VMEM-resident
-    V = [[None] * nv for _ in range(3)]
-    for u in range(nv):
-        sax = screws[0][:, u][:, None]  # [Bt, 1]
-        say = screws[1][:, u][:, None]
-        saz = screws[2][:, u][:, None]
-        slx = screws[3][:, u][:, None]
-        sly = screws[4][:, u][:, None]
-        slz = screws[5][:, u][:, None]
-        # arm = sa x p + sl  (broadcast [Bt,1] against [Bt,C])
-        ax = say * pz - saz * py + slx
-        ay = saz * px - sax * pz + sly
-        az = sax * py - say * px + slz
-        a_u = anc[:, u][None, :]  # [1, C] static ancestor mask row
-        for d in range(3):
-            wx, wy, wz = basis[3 * d], basis[3 * d + 1], basis[3 * d + 2]
-            V[d][u] = (ax * wx + ay * wy + az * wz) * a_u
+    Dof loops are fori_loops with ~2*nv-op bodies: Mosaic stack-allocates
+    every temporary of an unrolled loop without slot reuse (fully unrolled
+    this kernel wants 30-48 MB of scoped VMEM against the 16 MB limit),
+    while a fori body's slots are reused across iterations. All dynamic
+    slices are on MAJOR dims (screws/Minv passed dof-major); lane indices
+    are static."""
+    px, py, pz = pos[0, :, :], pos[1, :, :], pos[2, :, :]
 
-    # d_d = sum_u M_uu V_u^2 + 2 sum_{u<w} M_uw V_u V_w, with M entries
-    # per-env scalars broadcast from the flat Minv plane
-    for d in range(3):
-        acc = jnp.zeros_like(px)
-        for u in range(nv):
-            m_uu = minv2[:, u * nv + u][:, None]  # [Bt, 1]
-            acc = acc + m_uu * (V[d][u] * V[d][u])
-            for w in range(u + 1, nv):
-                m_uw = minv2[:, u * nv + w][:, None]
-                acc = acc + (2.0 * m_uw) * (V[d][u] * V[d][w])
-        out[d] = acc
+    for d in range(3):  # three friction-basis directions
+        wx = basis[3 * d, :, :]
+        wy = basis[3 * d + 1, :, :]
+        wz = basis[3 * d + 2, :, :]
+
+        def build(u, _):
+            s = screws[pl.ds(u, 1), :, :][0]  # [Bt, 6]
+            sax, say, saz = s[:, 0:1], s[:, 1:2], s[:, 2:3]
+            slx, sly, slz = s[:, 3:4], s[:, 4:5], s[:, 5:6]
+            # arm = sa x p + sl  (broadcast [Bt,1] against [Bt,C])
+            ax = say * pz - saz * py + slx
+            ay = saz * px - sax * pz + sly
+            az = sax * py - say * px + slz
+            a_u = ancT[pl.ds(u, 1), :]  # [1, C]
+            vbuf[pl.ds(u, 1), :, :] = (
+                (ax * wx + ay * wy + az * wz) * a_u
+            )[None]
+            return 0
+
+        jax.lax.fori_loop(0, nv, build, 0, unroll=False)
+
+        def qf(u, acc):
+            v_u = vbuf[pl.ds(u, 1), :, :][0]
+            mrow = minv3[pl.ds(u, 1), :, :][0]  # [Bt, nv]
+            y = mrow[:, 0:1] * vbuf[0, :, :]
+            for w in range(1, nv):  # static lane columns of mrow
+                y = y + mrow[:, w : w + 1] * vbuf[w, :, :]
+            return acc + v_u * y
+
+        out[d, :, :] = jax.lax.fori_loop(
+            0, nv, qf, jnp.zeros_like(px), unroll=False
+        )
 
 
 def _pick_tile(B: int, C: int, nv: int) -> int:
-    """Largest env tile whose V planes + in/out blocks stay well under the
-    16 MB scoped-VMEM budget (V dominates: 3*nv [Bt, Cp] f32 planes)."""
+    """Largest env tile fitting the 16 MB scoped-VMEM limit: the V scratch
+    (nv [Bt, Cp] f32 planes) + double-buffered in/out blocks + slack for
+    the ~2*nv live temporaries of one unrolled dof iteration."""
     cp = ((C + 127) // 128) * 128
-    nvp = ((nv + 127) // 128) * 128  # lane padding of the nv-minor blocks
-    budget = 10 * 1024 * 1024
+    nvp = 128  # lane padding of the 6-wide / nv-wide minor dims
+    budget = 12 * 1024 * 1024
     for bt in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
         if B % bt:
             continue
-        v_bytes = 3 * nv * bt * cp * 4
-        io = (2 * (12 * bt * cp) + 6 * bt * nvp + bt * nv * nv) * 4
-        if v_bytes + io <= budget:
+        scratch = nv * bt * cp * 4  # the V-plane buffer
+        # double-buffered blocks: 12 in + 3 out [bt, cp] planes, plus the
+        # dof-major screw and Minv blocks (minor dims pad to 128 lanes)
+        io = 2 * ((12 + 3) * bt * cp + 2 * nv * bt * nvp) * 4
+        # ~2*nv live temporaries of one fori body iteration
+        slack = 2 * nv * bt * cp * 4
+        if scratch + io + slack <= budget:
             return bt
     return 0
 
@@ -95,20 +116,24 @@ def robot_deff(
     bt = _pick_tile(B, C, nv)
     if bt == 0:
         raise ValueError(f"no valid tile for B={B}, C={C}, nv={nv}")
+    minv3 = jnp.moveaxis(minv2.reshape(B, nv, nv), 1, 0)  # [nv, B, nv]
+    screws_t = jnp.moveaxis(screws, 0, -1)  # [B, nv, 6]
+    screws_t = jnp.moveaxis(screws_t, 1, 0)  # [nv, B, 6] dof-major
     vm = pltpu.VMEM
     return pl.pallas_call(
         functools.partial(_deff_kernel, nv),
         grid=(B // bt,),
         in_specs=[
-            pl.BlockSpec((6, bt, nv), lambda i: (0, i, 0), memory_space=vm),
+            pl.BlockSpec((nv, bt, 6), lambda i: (0, i, 0), memory_space=vm),
             pl.BlockSpec((3, bt, C), lambda i: (0, i, 0), memory_space=vm),
             pl.BlockSpec((9, bt, C), lambda i: (0, i, 0), memory_space=vm),
-            pl.BlockSpec((C, nv), lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec((bt, nv * nv), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((nv, C), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((nv, bt, nv), lambda i: (0, i, 0), memory_space=vm),
         ],
         out_specs=pl.BlockSpec(
             (3, bt, C), lambda i: (0, i, 0), memory_space=vm
         ),
         out_shape=jax.ShapeDtypeStruct((3, B, C), pos.dtype),
+        scratch_shapes=[pltpu.VMEM((nv, bt, C), pos.dtype)],
         interpret=interpret,
-    )(screws, pos, basis, anc, minv2)
+    )(screws_t, pos, basis, anc.T, minv3)

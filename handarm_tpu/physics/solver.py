@@ -242,16 +242,11 @@ def _prepare(
 
     J = MinvJT = None
     pd = jnp.bfloat16 if params.prep_dtype == "bf16" else dtype
-    use_deff_kernel = (
-        params.mode != "gs"
-        and (
-            params.jacobi_impl == "pallas"
-            or (
-                params.jacobi_impl == "soa"
-                and jax.default_backend() == "tpu"
-            )
-        )
-    )
+    # OPT-IN only (jacobi_impl='pallas'): measured on v5e at B=8192/C=127
+    # the VPU kernel's serial y-chain loses to XLA's batched micro-GEMM
+    # (4.7 vs 3.8 ms) — the sweep kernel auto-upgrades on TPU, this one
+    # does not until it beats the XLA path
+    use_deff_kernel = params.mode != "gs" and params.jacobi_impl == "pallas"
     if has_robot.any() and use_deff_kernel:
         # fused VMEM-resident effective-mass kernel: no [B, C, nv, 3]
         # intermediates in HBM (ops/prep_deff.py; ~3.8 -> <1 ms/sim-step
