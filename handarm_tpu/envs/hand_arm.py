@@ -120,6 +120,13 @@ class HandArmConfig:
     # solver
     solver_iterations: int = 8
     solver_prep_dtype: str = "f32"  # "bf16" halves prep HBM traffic on TPU
+    # evaluate the heavy mass structure (compute_dyn + solver._prepare)
+    # once per CONTROL step instead of once per sim step — the TGS
+    # heavy/light split stretched over control_freq_inv*dt (engine.
+    # HeavyPrep). Per-sim-step FK/contact gen/geometry refresh still run;
+    # stability suites pass at this cadence (tests/test_engine.py
+    # heavy-cadence probes)
+    heavy_prep_per_control: bool = False
     hand_only_collision: bool = True
     # randomization (object disturbance forces,
     # reference Ur5SihMultiObjectManipulation.yaml randomization_params;
@@ -1132,8 +1139,18 @@ class HandArmEnv:
                 friction_scale=v[:, 1],
             )
 
-        def body(s, _):
-            return physics_step(self.scene, s, ovr)
+        if cfg.heavy_prep_per_control:
+            from handarm_tpu.physics.engine import compute_heavy
+
+            heavy = compute_heavy(self.scene, physics, ovr)
+
+            def body(s, _):
+                return physics_step(self.scene, s, ovr, heavy=heavy)
+
+        else:
+
+            def body(s, _):
+                return physics_step(self.scene, s, ovr)
 
         physics, infos = jax.lax.scan(
             body, physics, None, length=cfg.control_freq_inv

@@ -12,7 +12,7 @@ over a device mesh (see handarm_tpu.parallel) scales this to pods.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -434,11 +434,61 @@ def _rolling_resistance(
     return oav * scale[..., None]
 
 
+class HeavyPrep(NamedTuple):
+    """Step-start mass structure reusable across SEVERAL sim steps: the
+    PD-augmented dynamics (Mtilde/Minv/bias) and the solver's heavy prep
+    (effective masses, world inverse inertias, coupling maps). Extends the
+    TGS heavy/light split one level up: heavy once per CONTROL step,
+    per-sim-step work reduces to FK + contact gen + refresh_prep. The
+    approximation matches the per-substep one (frozen d_eff against moving
+    geometry), stretched over control_freq_inv * dt instead of dt."""
+
+    dyn: Any
+    prep: Any
+    bias_acc: jnp.ndarray
+
+
+def compute_heavy(
+    scene: Scene, state: PhysicsState, ovr: EnvOverrides = EnvOverrides()
+) -> HeavyPrep:
+    """Evaluate the heavy step-start quantities once, for reuse by
+    `step(..., heavy=...)` over the next few sim steps."""
+    from handarm_tpu.physics.solver import _prepare
+
+    m, p = scene.model, scene.params
+    h = p.dt / p.substeps
+    rob = state.robot
+    kp, kd = scene.kp, scene.kd
+    if ovr.gain_scale is not None:
+        kp = kp[None] * ovr.gain_scale
+        kd = kd[None] * ovr.gain_scale
+    gravity = scene.gravity if ovr.gravity is None else ovr.gravity
+    if m.floating:
+        base_quat0, base_pos0 = rob.base_quat, rob.base_pos
+    else:
+        base_quat0, base_pos0 = scene.base_quat[None], scene.base_pos[None]
+    fk0 = forward_kinematics(m, rob.q, base_quat0, base_pos0)
+    g_rob = gravity if p.robot_gravity else jnp.zeros_like(gravity)
+    dyn = compute_dyn(m, fk0, rob.qd, g_rob, kp, kd, h)
+    opos, oquat = state.objects.pos, state.objects.quat
+    contacts0 = generate_contacts(
+        scene.slots, scene.shapes, scene.spheres, scene.geom,
+        opos, oquat, fk0.body_quat, fk0.body_pos,
+    )
+    prep0 = _prepare(
+        m, fk0, dyn.Minv, scene.slots, contacts0, scene.shapes,
+        opos, oquat, h, p.solver,
+        mass_scale=ovr.mass_scale, friction_scale=ovr.friction_scale,
+    )
+    return HeavyPrep(dyn=dyn, prep=prep0, bias_acc=dyn.solve(dyn.bias))
+
+
 def step(
     scene: Scene,
     state: PhysicsState,
     ovr: EnvOverrides = EnvOverrides(),
     shared_prep: bool = True,
+    heavy: HeavyPrep | None = None,
 ):
     """One outer sim step (dt) = `substeps` contact-resolved substeps.
 
@@ -447,7 +497,9 @@ def step(
     them — the PhysX TGS idiom (contacts/Jacobians per step, impulses per
     substep) — roughly halving per-step cost. shared_prep=False re-evaluates
     everything each substep (the more accurate path used by tight physics
-    tests)."""
+    tests). Passing `heavy` (from `compute_heavy`) reuses a previous step's
+    mass structure: this step then only runs FK + contact generation +
+    the light geometry refresh before the substep loop."""
     if not shared_prep:
         def body(s, _):
             return substep(scene, s, ovr)
@@ -474,24 +526,33 @@ def step(
     gravity = scene.gravity if ovr.gravity is None else ovr.gravity
     g_obj = gravity if gravity.ndim == 1 else gravity[:, None, :]
 
-    # heavy, once per step: dynamics + contact mass structure
+    # heavy, once per step: dynamics + contact mass structure — or reused
+    # from a caller-provided HeavyPrep (then only geometry refreshes here)
     if m.floating:
         base_quat0, base_pos0 = rob.base_quat, rob.base_pos
     else:
         base_quat0, base_pos0 = scene.base_quat[None], scene.base_pos[None]
     fk0 = forward_kinematics(m, q, base_quat0, base_pos0)
-    g_rob = gravity if p.robot_gravity else jnp.zeros_like(gravity)
-    dyn = compute_dyn(m, fk0, qd, g_rob, kp, kd, h)
     contacts0 = generate_contacts(
         scene.slots, scene.shapes, scene.spheres, scene.geom,
         opos, oquat, fk0.body_quat, fk0.body_pos,
     )
-    prep0 = _prepare(
-        m, fk0, dyn.Minv, scene.slots, contacts0, scene.shapes,
-        opos, oquat, h, p.solver,
-        mass_scale=ovr.mass_scale, friction_scale=ovr.friction_scale,
-    )
-    bias_acc = dyn.solve(dyn.bias)
+    if heavy is not None:
+        dyn = heavy.dyn
+        bias_acc = heavy.bias_acc
+        prep0 = refresh_prep(
+            heavy.prep, fk0, contacts0, scene.slots, opos, h, p.solver,
+            friction_scale=ovr.friction_scale,
+        )
+    else:
+        g_rob = gravity if p.robot_gravity else jnp.zeros_like(gravity)
+        dyn = compute_dyn(m, fk0, qd, g_rob, kp, kd, h)
+        prep0 = _prepare(
+            m, fk0, dyn.Minv, scene.slots, contacts0, scene.shapes,
+            opos, oquat, h, p.solver,
+            mass_scale=ovr.mass_scale, friction_scale=ovr.friction_scale,
+        )
+        bias_acc = dyn.solve(dyn.bias)
 
     if not p.substep_contacts:
         return _step_anchored(

@@ -8,18 +8,27 @@ MAX_RESTARTS=$1
 shift
 cd "$(dirname "$0")/.."
 STALL_SECS=${STALL_SECS:-420}
+# a FRESH compile of a fleet-scale env (multiobj C~372) takes 8-10 min
+# with a cold jit cache — the stall monitor must not kill it mid-compile
+# (it did: rc=137 restart loops whose only symptom was silence)
+STARTUP_GRACE=${STARTUP_GRACE:-900}
 n=0
 while true; do
   python train.py "$@" resume=auto &
   pid=$!
+  start=$(date +%s)
   # stall monitor: kill the trainer if it stops producing output
   (
     while kill -0 "$pid" 2>/dev/null; do
       sleep 60
       last=$(date -r /proc/$pid/fd/1 +%s 2>/dev/null || echo 0)
       now=$(date +%s)
-      if [ "$last" -gt 0 ] && [ $((now - last)) -gt "$STALL_SECS" ]; then
-        echo "[watchdog] trainer $pid stalled >${STALL_SECS}s; killing"
+      limit=$STALL_SECS
+      if [ $((now - start)) -lt "$STARTUP_GRACE" ]; then
+        limit=$STARTUP_GRACE
+      fi
+      if [ "$last" -gt 0 ] && [ $((now - last)) -gt "$limit" ]; then
+        echo "[watchdog] trainer $pid stalled >${limit}s; killing"
         kill -9 "$pid" 2>/dev/null
         break
       fi

@@ -284,3 +284,71 @@ def test_bin_walls_contain_kicked_sphere(tmp_path):
     assert 0.20 < pos[0] < 0.82, pos  # stopped by the -x wall
     assert -0.31 < pos[1] < 0.31, pos
     assert pos[2] < 0.1, pos  # still on the floor, not launched
+
+
+def run_steps_heavy(scene, state, n, every=3):
+    """Advance n sim steps refreshing heavy prep only every `every` steps
+    (the heavy_prep_per_control cadence: compute_heavy + step(heavy=...))."""
+    from handarm_tpu.physics.engine import compute_heavy
+
+    heavy_fn = jax.jit(lambda s: compute_heavy(scene, s))
+    stepj = jax.jit(lambda s, h: step(scene, s, heavy=h)[0])
+    for i in range(n):
+        if i % every == 0:
+            heavy = heavy_fn(state)
+        state = stepj(state, heavy)
+    return state
+
+
+def test_box_drop_settles_under_heavy_cadence(tmp_path):
+    """Stability probe for HeavyPrep reuse (mass structure frozen over a
+    20 Hz control interval): the drop/settle behavior must match the
+    per-step-prep path within contact tolerances."""
+    scene = tiny_scene(tmp_path, [make_box_object([0.03, 0.04, 0.05], mass=0.2)], table_height=0.5)
+    state = initial_state(scene, B=4, obj_pos0=jnp.asarray([[0.5, 0.0, 0.8]]))
+    state = run_steps_heavy(scene, state, 90, every=3)
+    z = np.asarray(state.objects.pos[:, 0, 2])
+    np.testing.assert_allclose(z, 0.55, atol=0.01)
+    assert np.abs(np.asarray(state.objects.linvel)).max() < 0.05
+
+
+def test_stack_survives_heavy_cadence(tmp_path):
+    objs = [
+        make_box_object([0.05, 0.05, 0.05], mass=0.3),
+        make_box_object([0.04, 0.04, 0.04], mass=0.2),
+    ]
+    scene = tiny_scene(tmp_path, objs, table_height=0.0)
+    state = initial_state(
+        scene, B=2,
+        obj_pos0=jnp.asarray([[0.5, 0.0, 0.06], [0.5, 0.0, 0.2]]),
+    )
+    state = run_steps_heavy(scene, state, 150, every=3)
+    z = np.asarray(state.objects.pos[0, :, 2])
+    np.testing.assert_allclose(z[0], 0.05, atol=0.01)
+    np.testing.assert_allclose(z[1], 0.14, atol=0.015)
+
+
+def test_friction_holds_under_heavy_cadence(tmp_path):
+    scene = tiny_scene(tmp_path, [make_box_object([0.05, 0.05, 0.02], mass=0.5)], table_height=0.3)
+    state = initial_state(scene, B=2, obj_pos0=jnp.asarray([[0.6, -0.2, 0.33]]))
+    state = run_steps_heavy(scene, state, 120, every=3)
+    xy = np.asarray(state.objects.pos[:, 0, :2])
+    np.testing.assert_allclose(xy, np.tile([[0.6, -0.2]], (2, 1)), atol=0.01)
+
+
+def test_env_heavy_prep_per_control_sane(tmp_path):
+    """The env-level flag: a full hand-arm env steps finitely and objects
+    rest at table height with heavy prep per control step."""
+    from handarm_tpu.envs.hand_arm import HandArmConfig, HandArmEnv
+
+    env = HandArmEnv(HandArmConfig(
+        num_envs=2, episode_length=10, observations=("ur5_joint_pos",),
+        heavy_prep_per_control=True,
+    ))
+    state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    stepj = jax.jit(env.step)
+    for _ in range(10):
+        state, res = stepj(state, jnp.zeros((2, env.num_actions)))
+    assert bool(jnp.isfinite(res.obs).all())
+    z = np.asarray(state.physics.objects.pos[:, 0, 2])
+    np.testing.assert_allclose(z, 0.532, atol=0.02)  # rests on the table
