@@ -907,8 +907,14 @@ class HandArmEnv:
             k1, (B, K, 2), minval=-1.0, maxval=1.0
         ) * jnp.asarray(cfg.spawn_noise, jnp.float32)[:2]
         spread = (jnp.arange(K, dtype=jnp.float32) - (K - 1) / 2.0) * 0.12
+        # per-env random slot order: without this, slot k always rests at
+        # the k-th x offset and slot identity leaks through position (the
+        # target observations become ignorable — see reset() genesis note)
+        perm = jax.vmap(lambda kk: jax.random.permutation(kk, K))(
+            jax.random.split(k3, B)
+        )
         xy = center[None, None] + noise
-        xy = xy.at[..., 0].add(spread[None])
+        xy = xy.at[..., 0].add(spread[perm])
         rest_h = self._rest_heights()  # [K]
         z = jnp.broadcast_to(
             cfg.table_height + rest_h[None], (B, K)
@@ -1024,6 +1030,34 @@ class HandArmEnv:
         return EnvState(physics=physics, control=control, task=task, metrics=metrics)
 
     def reset(self, key) -> tuple[EnvState, jnp.ndarray]:
+        # Genesis drop-init wiring: dataset (mesh-object) envs settle their
+        # object piles once here, BEFORE the first step() trace, so both the
+        # initial state and the fused auto-reset gather from drop-settled
+        # pools instead of the analytic spawn (reference first-reset drop
+        # init, multi_object_manipulation.py:93-156). Without this the
+        # objects rest at fixed per-slot x offsets and slot identity leaks
+        # through position — a policy can ignore the target observations
+        # entirely and still clear 1/num_objects success by always grasping
+        # the easiest object's spot (observed: round-3 plateau at 0.32).
+        # HANDARM_DISABLE_GENESIS=1 is the test-suite escape hatch (the
+        # drop-settle jit is expensive on the CPU test platform).
+        import os
+
+        if (
+            self.cfg.use_drop_init
+            and self.initial_pool is None
+            and os.environ.get("HANDARM_DISABLE_GENESIS") != "1"
+        ):
+            import time
+
+            t0 = time.perf_counter()
+            self.initialize_pool(jax.random.fold_in(key, 23))
+            print(
+                f"[genesis] drop-settled {self.cfg.num_initial_poses} pose "
+                f"configuration(s) for {self.cfg.num_envs} envs in "
+                f"{time.perf_counter() - t0:.1f}s",
+                flush=True,
+            )
         state = self._fresh_state(key, self.cfg.num_envs)
         # stagger the initial episode clocks: with a common start, all envs
         # time out in LOCKSTEP forever (the whole fleet resets on the same

@@ -10,6 +10,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# skip the genesis drop-settle jit on env.reset() in tests (expensive on the
+# CPU platform); the pool path itself is covered by test_objects_sdf.py
+os.environ.setdefault("HANDARM_DISABLE_GENESIS", "1")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 

@@ -144,6 +144,56 @@ def test_genesis_redrop_lands_in_bin():
     assert inb.mean() >= 0.9, (inb, pos)
 
 
+def test_reset_builds_genesis_pool_when_enabled(monkeypatch):
+    """reset() must wire the drop-settle pool in for use_drop_init envs —
+    round-3 regression: the pool builder existed but had no caller, so
+    training spawned objects at fixed per-slot x offsets and the policy
+    learned slot position instead of the target observations."""
+    from handarm_tpu.envs.hand_arm import HandArmConfig, HandArmEnv
+
+    monkeypatch.setenv("HANDARM_DISABLE_GENESIS", "0")
+    cfg = HandArmConfig(
+        num_envs=4, episode_length=5,
+        use_drop_init=True, num_initial_poses=1, drop_num_steps=30,
+        objects=(("box", (0.03, 0.03, 0.03), 0.1), ("sphere", (0.03,), 0.08)),
+    )
+    env = HandArmEnv(cfg)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    assert env.initial_pool is not None
+    # the initial object poses come from the settled pool (config 0)
+    np.testing.assert_allclose(
+        np.asarray(state.physics.objects.pos),
+        np.asarray(env.initial_pool.pos[0]),
+        atol=1e-6,
+    )
+    # and with the suite's escape hatch reset skips the build
+    monkeypatch.setenv("HANDARM_DISABLE_GENESIS", "1")
+    env2 = HandArmEnv(cfg)
+    env2.reset(jax.random.PRNGKey(0))
+    assert env2.initial_pool is None
+
+
+def test_spawn_slot_order_is_shuffled():
+    """Analytic spawn must not leak slot identity through position: over a
+    batch, each slot's x offset should take multiple distinct ranks."""
+    from handarm_tpu.envs.hand_arm import HandArmConfig, HandArmEnv
+
+    cfg = HandArmConfig(
+        num_envs=64, episode_length=5,
+        objects=(
+            ("box", (0.03, 0.03, 0.03), 0.1),
+            ("sphere", (0.03,), 0.08),
+            ("box", (0.02, 0.02, 0.04), 0.1),
+        ),
+    )
+    env = HandArmEnv(cfg)
+    pos, _ = env._sample_object_poses(jax.random.PRNGKey(1), cfg.num_envs)
+    x = np.asarray(pos[..., 0])  # [B, K]
+    ranks = np.argsort(np.argsort(x, axis=1), axis=1)  # rank of each slot
+    # slot 0 must not always be the leftmost object
+    assert len(np.unique(ranks[:, 0])) > 1
+
+
 def test_dr_randomizes_and_stays_stable():
     from handarm_tpu.envs.hand_arm import HandArmConfig, HandArmEnv
     from handarm_tpu.envs.randomization import DRConfig, NoiseSpec
