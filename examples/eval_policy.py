@@ -35,6 +35,10 @@ def main(argv):
         "--record-envs", type=int, default=1,
         help="how many envs to record (ids 0..N-1)",
     )
+    ap.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VAL",
+        help="extra registry overrides, e.g. env.solver_prep_dtype=bf16",
+    )
     args = ap.parse_args(argv)
 
     from handarm_tpu.utils.jaxinit import force_platform, setup_cache
@@ -50,7 +54,9 @@ def main(argv):
     from handarm_tpu.learn.ppo import PPO, PPOConfig
     from handarm_tpu.utils.checkpoint import load_checkpoint
 
-    env, ppo_over = make_env(args.task, [f"env.num_envs={args.envs}"])
+    env, ppo_over = make_env(
+        args.task, [f"env.num_envs={args.envs}"] + list(args.set)
+    )
 
     recorder = None
     if args.record:

@@ -119,14 +119,17 @@ class HandArmConfig:
     servo_smoothing_alpha: float = 0.8
     # solver
     solver_iterations: int = 8
-    solver_prep_dtype: str = "f32"  # "bf16" halves prep HBM traffic on TPU
+    # "bf16" halves prep HBM traffic on TPU; effective masses / impulses
+    # stay f32. Default on: stack/kick/friction suites pass and the r3a
+    # lift policy evaluates at equal success (0.715 vs 0.672 f32).
+    solver_prep_dtype: str = "bf16"
     # evaluate the heavy mass structure (compute_dyn + solver._prepare)
     # once per CONTROL step instead of once per sim step — the TGS
     # heavy/light split stretched over control_freq_inv*dt (engine.
     # HeavyPrep). Per-sim-step FK/contact gen/geometry refresh still run;
     # stability suites pass at this cadence (tests/test_engine.py
-    # heavy-cadence probes)
-    heavy_prep_per_control: bool = False
+    # heavy-cadence probes). Default on: 281K -> 409K env-steps/s @ 8192.
+    heavy_prep_per_control: bool = True
     hand_only_collision: bool = True
     # randomization (object disturbance forces,
     # reference Ur5SihMultiObjectManipulation.yaml randomization_params;

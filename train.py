@@ -83,6 +83,32 @@ def main(argv):
 
     run_dir = os.path.join("runs", exp_name)
     os.makedirs(run_dir, exist_ok=True)
+    # snapshot the fully-resolved config for reproducibility (reference
+    # train.py:213-219 dumps the hydra config into the experiment dir)
+    import dataclasses
+
+    import yaml
+
+    with open(os.path.join(run_dir, "config.yaml"), "w") as f:
+        yaml.safe_dump(
+            {
+                "task": task,
+                "experiment": exp_name,
+                "seed": seed,
+                "max_iterations": max_iterations,
+                "cli_overrides": {k: str(v) for k, v in kv.items()},
+                "env": {
+                    k: (list(v) if isinstance(v, tuple) else v)
+                    for k, v in dataclasses.asdict(env.cfg).items()
+                    if isinstance(v, (int, float, str, bool, tuple, list))
+                },
+                "ppo_overrides": {
+                    k: (list(v) if isinstance(v, tuple) else v)
+                    for k, v in ppo_overrides.items()
+                },
+            },
+            f, sort_keys=False,
+        )
     logger = MetricsLogger(
         run_dir, wandb_project=wandb_project, experiment=exp_name
     )
