@@ -143,6 +143,10 @@ class HandArmConfig:
     adr: AdrConfig = field(default_factory=AdrConfig)
     clip_observations: float = 100.0
     clip_actions: float = 1.0
+    # sample reset targets proportional to per-object failure rate
+    # (1 - success EWMA) instead of uniformly — concentrates experience
+    # on the objects the policy has not mastered (see _sample_target)
+    balanced_target_sampling: bool = False
     # synthetic pointclouds (reference Ur5SihMultiObject.yaml pointclouds)
     pointcloud_average_points: int = 100
     pointcloud_max_points: int = 128
@@ -952,7 +956,26 @@ class HandArmEnv:
         )
         return base[None] + noise
 
-    def _fresh_state(self, key, B) -> EnvState:
+    def _sample_target(self, ktgt, B, per_object_ewma=None):
+        """Target-object sampling. Uniform by default; with
+        balanced_target_sampling, sample proportional to per-object
+        FAILURE rate (1 - success EWMA + floor) so hard objects get more
+        experience instead of the batch gradient hiding in the easy one
+        (round-3 multiobj collapse: obj0 0.96, obj1/2 ~3e-5 — the policy
+        only ever practiced the peach once it paid off)."""
+        K = self.cfg_num_objects
+        if (
+            per_object_ewma is None
+            or not self.cfg.balanced_target_sampling
+            or K <= 1
+        ):
+            return jax.random.randint(ktgt, (B,), 0, K).astype(jnp.int32)
+        w = 1.0 - per_object_ewma + 0.15  # floor keeps mastered objects in play
+        return jax.random.categorical(
+            ktgt, jnp.log(w)[None, :].repeat(B, 0)
+        ).astype(jnp.int32)
+
+    def _fresh_state(self, key, B, per_object_ewma=None) -> EnvState:
         kobj, kgoal, ktgt, knext = jax.random.split(key, 4)
         if self.initial_pool is not None:
             # sample a stored drop-settled configuration per env
@@ -1016,7 +1039,7 @@ class HandArmEnv:
             progress=jnp.zeros(B, jnp.int32),
             goal_pos=self._sample_goal(kgoal, B),
             goal_quat=goal_quat,
-            target_obj=jax.random.randint(ktgt, (B,), 0, K).astype(jnp.int32),
+            target_obj=self._sample_target(ktgt, B, per_object_ewma),
             goal_reached_before=jnp.zeros(B, bool),
             initial_obj_pos=pos,
             key=knext,
@@ -1240,7 +1263,9 @@ class HandArmEnv:
         )
 
         # 5. fused auto-reset
-        fresh = self._fresh_state(k_reset, B)
+        fresh = self._fresh_state(
+            k_reset, B, per_object_ewma=metrics.per_object_ewma
+        )
         merged = jax.tree.map(
             lambda new, old: _where_done(done, new, old),
             fresh._replace(metrics=metrics, task=fresh.task._replace(key=key)),

@@ -406,15 +406,27 @@ class PPO:
 
         N = returns_f.shape[0]
 
-        # 4. minibatch SGD with KL-adaptive LR
+        # 4. minibatch SGD with KL-adaptive LR.
+        # The loss normalizes obs with the ROLLOUT-time stats (ts.obs_stats),
+        # not the freshly-updated ones: batch.mu/logp were recorded under
+        # the old stats, so evaluating the new policy under shifted stats
+        # makes ratio != 1 and KL > 0 at identical params — pure
+        # normalization drift read as policy movement. Early in training
+        # (or whenever the obs distribution shifts, e.g. first lifts) that
+        # artificial KL exceeds 2x kl_threshold every iteration and pins
+        # the adaptive LR at min_lr (observed: probe_can, lr 1e-6 from
+        # iter 140 with kl stuck at 0.03-0.05). The updated stats take
+        # effect on the NEXT rollout.
         def loss_fn(params, mb):
             obs_n = (
-                normalize(obs_stats, mb["obs"]) if cfg.normalize_input else mb["obs"]
+                normalize(ts.obs_stats, mb["obs"])
+                if cfg.normalize_input
+                else mb["obs"]
             )
             mu, log_std, value = self.net.apply(self._actor_params(params), obs_n)
             if cfg.asymmetric_critic:
                 t_n = (
-                    normalize(teacher_stats, mb["teacher_obs"])
+                    normalize(ts.teacher_obs_stats, mb["teacher_obs"])
                     if cfg.normalize_input
                     else mb["teacher_obs"]
                 )
@@ -775,13 +787,16 @@ class PPO:
             )
 
         def loss_fn(params, mb):
+            # rollout-time stats, not the freshly-updated ones — see the
+            # MLP-path loss_fn comment (normalization drift otherwise
+            # reads as policy KL and pins the adaptive LR at min_lr)
             obs_n = (
-                normalize(obs_stats, mb["obs"])
+                normalize(ts.obs_stats, mb["obs"])
                 if cfg.normalize_input
                 else mb["obs"]
             )
             teacher_n = (
-                normalize(teacher_stats, mb["teacher_obs"])
+                normalize(ts.teacher_obs_stats, mb["teacher_obs"])
                 if (cfg.asymmetric_critic and cfg.normalize_input)
                 else mb["teacher_obs"]
             )

@@ -224,3 +224,44 @@ def test_wandb_sink_degrades_gracefully():
         lg = MetricsLogger(d, use_tensorboard=False, wandb_project="p")
         lg.log(0, {"x": 1.0})
         lg.close()
+
+
+def test_balanced_target_sampling_weights_hard_objects():
+    """With balanced_target_sampling, reset targets are drawn proportional
+    to per-object failure rate: a mastered object (EWMA ~1) is sampled far
+    less often than unmastered ones (round-3 multiobj collapse fix)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from handarm_tpu.envs.hand_arm import HandArmConfig, HandArmEnv
+
+    cfg = HandArmConfig(
+        num_envs=4,
+        objects=(
+            ("box", (0.03, 0.03, 0.03), 0.1),
+            ("box", (0.03, 0.03, 0.03), 0.1),
+            ("box", (0.03, 0.03, 0.03), 0.1),
+        ),
+        balanced_target_sampling=True,
+    )
+    env = HandArmEnv(cfg)
+    key = jax.random.PRNGKey(0)
+    B = 4096
+    # uniform when nothing is mastered (EWMAs all zero)
+    t0 = env._sample_target(key, B, jnp.zeros(3))
+    f0 = np.bincount(np.asarray(t0), minlength=3) / B
+    np.testing.assert_allclose(f0, 1 / 3, atol=0.03)
+    # object 0 mastered: its sampling share collapses toward the floor
+    ewma = jnp.asarray([0.96, 0.0, 0.0])
+    t1 = env._sample_target(key, B, ewma)
+    f1 = np.bincount(np.asarray(t1), minlength=3) / B
+    assert f1[0] < 0.12, f1
+    np.testing.assert_allclose(f1[1], f1[2], atol=0.04)
+    # flag off -> uniform regardless of EWMAs
+    env2 = HandArmEnv(
+        HandArmConfig(num_envs=4, objects=cfg.objects)
+    )
+    t2 = env2._sample_target(key, B, ewma)
+    f2 = np.bincount(np.asarray(t2), minlength=3) / B
+    np.testing.assert_allclose(f2, 1 / 3, atol=0.03)
