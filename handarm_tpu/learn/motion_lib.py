@@ -79,8 +79,21 @@ def _q_to_exp_map(q):
     return angle[..., None] * axis
 
 
+def load_clip_npz(path: str) -> dict:
+    """Clip .npz written by scripts/fbx_to_motion.py -> motion dict (the
+    same format load_skeleton_motion returns)."""
+    d = np.load(path, allow_pickle=True)
+    out = {k: d[k] for k in d.files}
+    out["node_names"] = [str(n) for n in out["node_names"]]
+    out["fps"] = float(out["fps"])
+    return out
+
+
 def load_skeleton_motion(path: str) -> dict:
-    """Raw SkeletonMotion npy -> numpy dict (rotations converted to wxyz)."""
+    """Raw SkeletonMotion npy -> numpy dict (rotations converted to wxyz).
+    .npz clips (fbx_to_motion.py output) load through load_clip_npz."""
+    if path.endswith(".npz"):
+        return load_clip_npz(path)
     d = np.load(path, allow_pickle=True).item()
     tree = d["skeleton_tree"]
     return dict(

@@ -79,6 +79,7 @@ def retarget_motion(
     source_tpose_local_rot: np.ndarray | None = None,
     target_tpose_local_rot: np.ndarray | None = None,
     ground_feet: bool = True,
+    root_height_offset: float = 0.0,
 ) -> dict:
     """Retarget `source` (a load_skeleton_motion dict) onto
     `target_skeleton` ({node_names, parents, local_translation}).
@@ -135,16 +136,20 @@ def retarget_motion(
     local_rot = _global_to_local(g_rot_tgt, tgt_parents)
 
     # step 6: ground the feet — offset root z so the minimum body height
-    # over the whole clip matches the target tpose's minimum body height
+    # over the whole clip sits on the ground plane z=0, plus the optional
+    # anti-penetration offset (reference retarget_motion.py:259-268:
+    # `root_translation[:, 2] += -min_h` then `+= root_height_offset`).
+    # Absolute root height is an AMP feature, so retargeted clips must
+    # share the native clips' ground convention or the discriminator
+    # separates them on height alone.
     if ground_feet:
         _, g_pos = _skeleton_fk(
             local_rot, root_pos, tgt_parents,
             target_skeleton["local_translation"],
         )
         z_min = g_pos[..., 2].min()
-        z_min_tpose = tpose_pos_tgt[..., 2].min()
         root_pos = root_pos + np.array(
-            [0.0, 0.0, float(z_min_tpose - z_min)]
+            [0.0, 0.0, float(root_height_offset) - float(z_min)]
         )
 
     # re-estimate velocities by finite differences at the source fps
