@@ -191,6 +191,9 @@ def env_from_yaml(path: str, overrides: list[str] | None = None):
         num_initial_poses=int(get(cfg, "objects.drop.num_initial_poses", 1)),
         use_drop_init=bool(dataset),
         randomize=bool(get(cfg, "rl.randomize", False)),
+        balanced_target_sampling=bool(
+            get(cfg, "rl.balanced_target_sampling", False)
+        ),
         disturbance_probability=float(rand_params.get("probability", 0.0)),
         disturbance_magnitude=float(rand_params.get("magnitude", 0.0)),
         pointcloud_average_points=int(
