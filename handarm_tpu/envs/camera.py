@@ -8,8 +8,10 @@ GPU depth/segmentation tensors + the sparse-depth unprojection trick at
 (robot cloud + object samples) are projected into the camera and
 z-buffered per pixel with segment-min — giving real occlusion behavior for
 pointcloud observations (the reference's cameras ultimately feed exactly
-such sparse clouds to the distillation students). RGB is out of scope
-(SURVEY §7 hard part 6).
+such sparse clouds to the distillation students). COLOR images render the
+same way: each point carries a flat RGB albedo baked from the object's
+texture (utils/mesh.py sample_texture_colors), and the z-buffer winner
+paints its pixel (reference ImageType.COLOR, utils/camera.py:17-40).
 
 Segmentation ids follow the reference convention: 0 background, 1 robot,
 3+k for object k (multi_object.py create_actor segmentationId arguments).
@@ -50,6 +52,8 @@ class CameraRender(NamedTuple):
     segmentation: jnp.ndarray  # [B, H, W] int32
     points_uvz: jnp.ndarray  # [B, P, 3] pixel coords + depth per input point
     visible: jnp.ndarray  # [B, P] 1.0 where the point won its pixel
+    color: jnp.ndarray | None = None  # [B, H, W, 3] float in [0,1] (flat-
+    # shaded splats; reference ImageType.COLOR, utils/camera.py:17-40)
 
 
 def _intrinsics(cfg: CameraConfig):
@@ -64,6 +68,7 @@ def render_points(
     points_world: jnp.ndarray,  # [B, P, 3]
     seg_ids: jnp.ndarray,  # [P] or [B, P] int32 (0 = invalid/background)
     valid: jnp.ndarray | None = None,  # [B, P]
+    colors: jnp.ndarray | None = None,  # [P, 3] or [B, P, 3] RGB in [0,1]
 ) -> CameraRender:
     """Project + z-buffer scene points. Camera looks along +x of its frame
     (gym convention), +z up; image u right, v down."""
@@ -90,7 +95,7 @@ def render_points(
     big = cfg.max_depth
     d_masked = jnp.where(ok, depth, big)
 
-    def per_env(pix_b, d_b, seg_b):
+    def per_env(pix_b, d_b, seg_b, rgb_b):
         zbuf = jax.ops.segment_min(
             d_b, pix_b, num_segments=npix, indices_are_sorted=False
         )
@@ -102,19 +107,50 @@ def render_points(
         seg_flat = jax.ops.segment_max(
             jnp.where(vis, seg_b, 0), pix_b, num_segments=npix
         )
-        return zbuf, seg_flat, vis
+        if rgb_b is None:
+            return zbuf, seg_flat, vis, None
+        # one winning point's FULL rgb per pixel: pack the three channels
+        # into one int so segment_max can't mix channels across tied points
+        q = jnp.clip(rgb_b * 255.0, 0, 255).astype(jnp.int32)
+        packed = (q[:, 0] << 16) | (q[:, 1] << 8) | q[:, 2]
+        col_flat = jax.ops.segment_max(
+            jnp.where(vis, packed, -1), pix_b, num_segments=npix
+        )
+        won = col_flat >= 0
+        col_flat = jnp.where(won, col_flat, 0)
+        rgb_img = (
+            jnp.stack(
+                [col_flat >> 16, (col_flat >> 8) & 255, col_flat & 255],
+                axis=-1,
+            ).astype(jnp.float32)
+            / 255.0
+        )
+        return zbuf, seg_flat, vis, rgb_img * won[:, None]
 
     seg_b = (
         jnp.broadcast_to(seg_ids[None], (B, P))
         if seg_ids.ndim == 1
         else seg_ids
     )
-    zbuf, seg_flat, vis = jax.vmap(per_env)(pix, d_masked, seg_b)
+    if colors is not None:
+        rgb_b = (
+            jnp.broadcast_to(colors[None], (B, P, 3))
+            if colors.ndim == 2
+            else colors
+        )
+        zbuf, seg_flat, vis, col = jax.vmap(per_env)(pix, d_masked, seg_b, rgb_b)
+        color_img = col.reshape(B, cfg.height, cfg.width, 3)
+    else:
+        zbuf, seg_flat, vis, _ = jax.vmap(
+            lambda p, d, s: per_env(p, d, s, None)
+        )(pix, d_masked, seg_b)
+        color_img = None
     return CameraRender(
         depth=zbuf.reshape(B, cfg.height, cfg.width),
         segmentation=seg_flat.reshape(B, cfg.height, cfg.width).astype(jnp.int32),
         points_uvz=jnp.stack([u, v, depth], axis=-1),
         visible=vis.astype(points_world.dtype),
+        color=color_img,
     )
 
 

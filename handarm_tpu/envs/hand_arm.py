@@ -491,6 +491,24 @@ class HandArmEnv:
         self.robot_cloud_bodies = rb
         self.robot_cloud_offsets = jnp.asarray(ro, jnp.float32)
         self.goal_cloud_points = jnp.asarray(sphere_points(0.02, 16), jnp.float32)
+        # static per-point RGB albedo for the color camera family, aligned
+        # with _camera_scene_points' concatenation (robot gray, then each
+        # object's baked texture colors / a palette fallback)
+        P_obj = shapes.points.shape[1] if shapes.num_objects else 0
+        palette = np.array(
+            [[0.86, 0.37, 0.34], [0.35, 0.61, 0.84], [0.48, 0.77, 0.46],
+             [0.91, 0.72, 0.32], [0.66, 0.49, 0.77], [0.55, 0.78, 0.78]]
+        )
+        rgb_parts = [np.full((len(ro), 3), 0.35)]
+        for k, o in enumerate(objs):
+            block = np.tile(palette[k % len(palette)], (P_obj, 1))
+            pr = o.get("point_rgb") if isinstance(o, dict) else None
+            if pr is not None:
+                block[: len(pr)] = pr
+            rgb_parts.append(block)
+        self.scene_point_rgb = jnp.asarray(
+            np.concatenate(rgb_parts, axis=0), jnp.float32
+        )
         # per-env registry: a copy of the module-level static registry plus
         # this env's dynamic (K/nv-dependent) terms — two envs with different
         # object sets in one process never share/clobber entries
@@ -871,6 +889,24 @@ class HandArmEnv:
             f"{cam.name}_segmentation", 0,
             lambda ctx: get_render(ctx).segmentation,
             key=f"{cam.name}_segmentation",
+        )
+
+        def get_color(ctx):
+            """Flat-shaded RGB image (reference ImageType.COLOR). Separate
+            cached compute so depth/segmentation/pointcloud consumers don't
+            pay for the color scatter when no color obs is requested."""
+
+            def compute():
+                pts, segs, _ = self._camera_scene_points(ctx)
+                return render_points(
+                    cam, pts, segs.astype(jnp.int32), valid=segs,
+                    colors=self.scene_point_rgb,
+                ).color
+
+            return ctx._get(f"render_color_{cam.name}", compute)
+
+        reg.observables[f"{cam.name}_color"] = _mk_obs(
+            f"{cam.name}_color", 0, get_color, key=f"{cam.name}_color",
         )
 
         def cam_cloud(ctx):

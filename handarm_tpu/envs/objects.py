@@ -68,7 +68,7 @@ def load_object(
 
     Caches the baked SDF + samples on disk keyed by path/params."""
     key = hashlib.sha1(
-        f"{urdf_path}:{sdf_resolution}:{num_surface_points}:v3".encode()
+        f"{urdf_path}:{sdf_resolution}:{num_surface_points}:v4".encode()
     ).hexdigest()[:16]
     cache_path = os.path.join(CACHE_DIR, key + ".npz")
     if cache and os.path.exists(cache_path):
@@ -101,7 +101,29 @@ def load_object(
     from handarm_tpu.physics.sdf import bake_sdf
 
     grid, lo, spacing = bake_sdf(mesh, resolution=sdf_resolution)
-    pts = mesh.sample_surface(num_surface_points, np.random.default_rng(1))
+    pts, face_idx, bary = mesh.sample_surface_ex(
+        num_surface_points, np.random.default_rng(1)
+    )
+    # per-sample RGB albedo from the visual mesh's texture (YCB textured.obj
+    # + .mtl map_Kd) for the color camera family (reference ImageType.COLOR,
+    # tasks/hand_arm/utils/camera.py:17-40). Gray fallback when untextured.
+    rgb = None
+    if col.geometry.mesh_path.lower().endswith(".obj") and os.path.exists(
+        col.geometry.mesh_path
+    ):
+        from handarm_tpu.utils.mesh import load_obj_uv, sample_texture_colors
+
+        try:
+            _, uv, face_uv, tex_path, kd = load_obj_uv(col.geometry.mesh_path)
+            # face_idx indexes the sampled mesh's triangles; only valid if
+            # the uv loader produced the identical triangulation
+            if len(face_uv) == len(mesh.faces):
+                rgb = sample_texture_colors(uv, face_uv, face_idx, bary,
+                                            tex_path, kd)
+        except Exception:
+            rgb = None
+    if rgb is None:
+        rgb = np.full((num_surface_points, 3), 0.5)
     bound = float(np.linalg.norm(mesh.vertices, axis=-1).max())
 
     c_obb, R_obb, half_obb = mesh.oriented_bounding_box()
@@ -113,6 +135,7 @@ def load_object(
         obb_pos=np.asarray(c_obb, dtype=np.float64),  # OBB pose in body frame
         obb_quat=_mat_to_quat(np.asarray(R_obb)),
         points=pts,
+        point_rgb=rgb,
         point_radius=np.zeros(len(pts)),
         bound_radius=bound,
         mass=float(mass),

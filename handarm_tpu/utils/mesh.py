@@ -33,6 +33,14 @@ class Mesh:
     def sample_surface(self, n: int, rng: np.random.Generator | None = None) -> np.ndarray:
         """Area-weighted uniform surface samples (the reference's pointcloud
         sampling mode 'area', multi_object.py:774-806)."""
+        return self.sample_surface_ex(n, rng)[0]
+
+    def sample_surface_ex(
+        self, n: int, rng: np.random.Generator | None = None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Like sample_surface but also returns (face_idx [n], bary [n, 3])
+        so per-face attributes (texture uv -> RGB) can be interpolated at the
+        sample points. Consumes the rng identically to sample_surface."""
         rng = rng or np.random.default_rng(0)
         areas = self.face_areas()
         probs = areas / max(areas.sum(), 1e-12)
@@ -42,7 +50,10 @@ class Mesh:
         a, b, c = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
         r1, r2 = rng.random((2, n, 1))
         s = np.sqrt(r1)
-        return a * (1 - s) + b * (s * (1 - r2)) + c * (s * r2)
+        wa, wb, wc = (1 - s), s * (1 - r2), s * r2
+        pts = a * wa + b * wb + c * wc
+        bary = np.concatenate([wa, wb, wc], axis=-1)
+        return pts, idx, bary
 
     def bounding_box(self):
         return self.vertices.min(0), self.vertices.max(0)
@@ -129,6 +140,103 @@ def merge_meshes(meshes: list[Mesh]) -> Mesh:
         faces.append(m.faces + off)
         off += len(m.vertices)
     return Mesh(np.concatenate(verts), np.concatenate(faces))
+
+
+def load_obj_uv(path: str):
+    """Parse an OBJ keeping texture coordinates: returns (Mesh, uv [T, 2],
+    face_uv [F, 3] int64, texture_png_path | None, kd_color | None).
+
+    Triangulation (fan) and face order match load_obj exactly, so face
+    indices from Mesh.sample_surface_ex on the returned mesh index face_uv
+    directly. texture path comes from the .mtl's map_Kd; kd_color from its
+    Kd line (fallback albedo when there is no texture map)."""
+    verts, uvs, faces, face_uv = [], [], [], []
+    mtl_name = None
+    with open(path, "r", errors="ignore") as fh:
+        for line in fh:
+            if line.startswith("v "):
+                p = line.split()
+                verts.append([float(p[1]), float(p[2]), float(p[3])])
+            elif line.startswith("vt "):
+                p = line.split()
+                uvs.append([float(p[1]), float(p[2])])
+            elif line.startswith("mtllib "):
+                mtl_name = line.split(None, 1)[1].strip()
+            elif line.startswith("f "):
+                vi, ti = [], []
+                for tok in line.split()[1:]:
+                    parts = tok.split("/")
+                    i = int(parts[0])
+                    vi.append(i - 1 if i > 0 else len(verts) + i)
+                    if len(parts) > 1 and parts[1]:
+                        t = int(parts[1])
+                        ti.append(t - 1 if t > 0 else len(uvs) + t)
+                    else:
+                        ti.append(0)
+                for k in range(1, len(vi) - 1):
+                    faces.append([vi[0], vi[k], vi[k + 1]])
+                    face_uv.append([ti[0], ti[k], ti[k + 1]])
+    tex_path, kd = None, None
+    mtl_path = os.path.join(os.path.dirname(path), mtl_name or "")
+    if mtl_name and os.path.exists(mtl_path):
+        with open(mtl_path, "r", errors="ignore") as fh:
+            for line in fh:
+                t = line.split()
+                if not t:
+                    continue
+                if t[0] == "map_Kd":
+                    cand = os.path.normpath(
+                        os.path.join(os.path.dirname(mtl_path), t[1])
+                    )
+                    if os.path.exists(cand):
+                        tex_path = cand
+                elif t[0] == "Kd" and len(t) >= 4:
+                    kd = np.array([float(t[1]), float(t[2]), float(t[3])])
+    uv = np.asarray(uvs, np.float64) if uvs else np.zeros((1, 2))
+    return (
+        Mesh(np.array(verts), np.array(faces)),
+        uv,
+        np.asarray(face_uv, np.int64) if face_uv else np.zeros((0, 3), np.int64),
+        tex_path,
+        kd,
+    )
+
+
+def sample_texture_colors(
+    uv: np.ndarray,
+    face_uv: np.ndarray,
+    face_idx: np.ndarray,
+    bary: np.ndarray,
+    texture_path: str | None,
+    kd_color: np.ndarray | None = None,
+) -> np.ndarray | None:
+    """RGB in [0,1] for surface samples given (face_idx, bary) from
+    Mesh.sample_surface_ex. Bilinear-samples the texture png at the
+    barycentric-interpolated uv; falls back to the material's flat Kd
+    color; returns None when neither exists."""
+    if texture_path is None:
+        if kd_color is not None:
+            return np.broadcast_to(kd_color, (len(face_idx), 3)).copy()
+        return None
+    from PIL import Image
+
+    img = np.asarray(Image.open(texture_path).convert("RGB"), np.float32) / 255.0
+    H, W = img.shape[:2]
+    fuv = uv[face_uv[face_idx]]  # [n, 3, 2]
+    p = (bary[:, :, None] * fuv).sum(1)  # [n, 2] interpolated uv
+    # OBJ uv origin is bottom-left; image rows are top-down
+    x = np.clip(p[:, 0] % 1.0, 0.0, 1.0) * (W - 1)
+    y = (1.0 - np.clip(p[:, 1] % 1.0, 0.0, 1.0)) * (H - 1)
+    x0, y0 = np.floor(x).astype(int), np.floor(y).astype(int)
+    x1, y1 = np.minimum(x0 + 1, W - 1), np.minimum(y0 + 1, H - 1)
+    fx, fy = (x - x0)[:, None], (y - y0)[:, None]
+    c = (
+        img[y0, x0] * (1 - fx) * (1 - fy)
+        + img[y0, x1] * fx * (1 - fy)
+        + img[y1, x0] * (1 - fx) * fy
+        + img[y1, x1] * fx * fy
+    )
+    return c.astype(np.float64)
 
 
 def load_mesh(path: str, scale=None) -> Mesh:

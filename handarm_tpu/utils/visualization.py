@@ -178,7 +178,7 @@ class CameraRecorder:
         # frames[cam][type][env_id] -> list of HxWx3 uint8
         self.frames = {
             c.name: {t: {i: [] for i in self.env_ids}
-                     for t in ("depth", "segmentation")}
+                     for t in ("depth", "segmentation", "color")}
             for c in cams
         }
 
@@ -189,9 +189,11 @@ class CameraRecorder:
             ctx = ObsContext(env, state, None)
             pts, segs, _ = env._camera_scene_points(ctx)
             out = {}
+            rgb = getattr(env, "scene_point_rgb", None)
             for cam in cams:
-                r = render_points(cam, pts, segs.astype(jnp.int32), valid=segs)
-                out[cam.name] = (r.depth, r.segmentation)
+                r = render_points(cam, pts, segs.astype(jnp.int32),
+                                  valid=segs, colors=rgb)
+                out[cam.name] = (r.depth, r.segmentation, r.color)
             return out
 
         self._render = jax.jit(render_all)
@@ -223,7 +225,7 @@ class CameraRecorder:
         done_np = None if done is None else np.asarray(done)
         written: list[str] = []
         for cam in self.cams:
-            depth, seg = rendered[cam.name]
+            depth, seg, color = rendered[cam.name]
             depth = np.asarray(depth)
             seg = np.asarray(seg)
             for i in self.env_ids:
@@ -233,6 +235,10 @@ class CameraRecorder:
                 self.frames[cam.name]["segmentation"][i].append(
                     self._seg_to_rgb(seg[i])
                 )
+                if color is not None:
+                    self.frames[cam.name]["color"][i].append(
+                        (np.asarray(color[i]) * 255).astype(np.uint8)
+                    )
         if done_np is not None:
             for i in self.env_ids:
                 if done_np[i]:
@@ -248,7 +254,7 @@ class CameraRecorder:
         os.makedirs(self.out_dir, exist_ok=True)
         paths = []
         for cam in self.cams:
-            for typ in ("depth", "segmentation"):
+            for typ in ("depth", "segmentation", "color"):
                 frames = self.frames[cam.name][typ][env_id]
                 if not frames:
                     continue
