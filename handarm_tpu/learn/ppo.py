@@ -73,6 +73,12 @@ class PPOConfig(NamedTuple):
     # separate LSTM width for the asymmetric central-value critic
     # (reference central_value_config rnn units: 2048); 0 -> rnn_units
     critic_rnn_units: int = 0
+    # data-parallel shard count of the env axis (mesh 'data' size). The SGD
+    # phase lays the rollout out as [data_shards, N_loc] and permutes
+    # minibatches shard-locally so the update runs sharded (grads
+    # all-reduce) instead of all-gathering the batch to every device.
+    # 1 (single device) reproduces the global-shuffle semantics.
+    data_shards: int = 1
 
 
 class TrainState(NamedTuple):
@@ -191,7 +197,10 @@ class PPO:
 
     def init(self, key) -> TrainState:
         k_env, k_net, k_vnet, k_next = jax.random.split(key, 4)
-        env_state, obs = self.env.reset(k_env)
+        # jit the init-time reset: eagerly dispatching the multiobj reset's
+        # op stream (FK, per-object obs) at fleet batch sizes crashes the
+        # remote TPU worker; one compiled program is also much faster
+        env_state, obs = jax.jit(self.env.reset)(k_env)
         hidden = self.init_carry(obs.shape[0])
         if self.recurrent:
             carry1 = self.net.init_carry(1)
@@ -364,9 +373,34 @@ class PPO:
         )
         returns = advantages + traj.value
 
-        # 3. update running stats once per iteration
+        # flatten ENV-MAJOR into [D, N_loc] where D = data-mesh shards and
+        # the leading axis carries the env sharding. The old T-major
+        # [T, B] -> [T*B] reshape merged an unsharded major axis with the
+        # sharded env axis — unrepresentable in GSPMD, so EVERY batch leaf
+        # was all-gathered to every device and the whole SGD phase ran
+        # replicated (measured: all-gather bytes doubling per mesh
+        # doubling, zero gradient all-reduce — scripts/collective_bytes.py).
+        # Env-major keeps each device's rollout block local; minibatches
+        # permute WITHIN blocks (jax.random per-shard perms) and gradients
+        # all-reduce at a mesh-size-independent cost.
+        D = max(1, int(cfg.data_shards))
+        B = traj.reward.shape[1]
+        assert B % D == 0, (B, D)
+
+        def flat(x):
+            # [T, B, ...] -> [B, T, ...] -> [D, (B//D)*T, ...]
+            x = jnp.swapaxes(x, 0, 1)
+            return x.reshape((D, (B // D) * x.shape[1]) + x.shape[2:])
+
+        batch = jax.tree.map(flat, traj)
+        advantages_f = flat(advantages)
+        returns_f = flat(returns)
+
+        # 3. update running stats once per iteration (reductions over the
+        # env-major layout: [D, N_loc, F] -> [D*N_loc, F] keeps the sharded
+        # axis major, so the partial reduce stays device-local)
         obs_stats = (
-            update_stats(ts.obs_stats, traj.obs.reshape(-1, traj.obs.shape[-1]))
+            update_stats(ts.obs_stats, batch.obs.reshape(-1, batch.obs.shape[-1]))
             if cfg.normalize_input
             else ts.obs_stats
         )
@@ -374,21 +408,13 @@ class PPO:
         if cfg.asymmetric_critic and cfg.normalize_input:
             teacher_stats = update_stats(
                 teacher_stats,
-                traj.teacher_obs.reshape(-1, traj.teacher_obs.shape[-1]),
+                batch.teacher_obs.reshape(-1, batch.teacher_obs.shape[-1]),
             )
         value_stats = (
-            update_stats(ts.value_stats, returns.reshape(-1))
+            update_stats(ts.value_stats, returns_f.reshape(-1))
             if cfg.normalize_value
             else ts.value_stats
         )
-
-        # flatten [T, B] -> [T*B]  (explicit size: -1 breaks on 0-width leaves)
-        def flat(x):
-            return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
-
-        batch = jax.tree.map(flat, traj)
-        advantages_f = flat(advantages)
-        returns_f = flat(returns)
         if cfg.normalize_advantage:
             advantages_f = (advantages_f - advantages_f.mean()) / (
                 advantages_f.std() + 1e-8
@@ -404,7 +430,7 @@ class PPO:
             else batch.value
         )
 
-        N = returns_f.shape[0]
+        N_loc = returns_f.shape[1]  # rollout elements per data shard
 
         # 4. minibatch SGD with KL-adaptive LR.
         # The loss normalizes obs with the ROLLOUT-time stats (ts.obs_stats),
@@ -477,18 +503,23 @@ class PPO:
 
         grad_fn = jax.grad(loss_fn, has_aux=True)
 
+        def take_mb(x, idx):
+            # batched shard-local gather: x [D, N_loc, ...], idx [D, mb_loc]
+            ix = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+            return jnp.take_along_axis(x, ix, axis=1)
+
         def mb_step(carry, idx):
             params, opt_state, lr = carry
             mb = dict(
-                obs=batch.obs[idx],
-                action=batch.action[idx],
-                logp=batch.logp[idx],
-                adv=advantages_f[idx],
-                return_n=returns_n[idx],
-                value_n=values_n[idx],
-                mu=batch.mu[idx],
-                sigma=batch.sigma[idx],
-                teacher_obs=batch.teacher_obs[idx],
+                obs=take_mb(batch.obs, idx),
+                action=take_mb(batch.action, idx),
+                logp=take_mb(batch.logp, idx),
+                adv=take_mb(advantages_f, idx),
+                return_n=take_mb(returns_n, idx),
+                value_n=take_mb(values_n, idx),
+                mu=take_mb(batch.mu, idx),
+                sigma=take_mb(batch.sigma, idx),
+                teacher_obs=take_mb(batch.teacher_obs, idx),
             )
             grads, aux = grad_fn(params, mb)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
@@ -506,10 +537,15 @@ class PPO:
                 )
             return (params, opt_state, lr), aux
 
+        assert self.mb_size % D == 0, (self.mb_size, D)
+        mb_loc = self.mb_size // D
+
         def epoch_step(carry, k):
-            perm = jax.random.permutation(k, N).reshape(
-                self.num_minibatches, self.mb_size
-            )
+            # one independent permutation per data shard, local indices only
+            perm = jax.vmap(lambda kk: jax.random.permutation(kk, N_loc))(
+                jax.random.split(k, D)
+            )  # [D, N_loc]
+            perm = perm.reshape(D, self.num_minibatches, mb_loc).swapaxes(0, 1)
             carry, auxs = jax.lax.scan(mb_step, carry, perm)
             return carry, auxs
 
