@@ -713,69 +713,82 @@ class PPO:
         )
         returns = advantages + traj.value
 
+        # --- sequence-chunk the [T, B] trajectory: N_seq = (T/B)*L chunks
+        # of length L, each with its rollout-stored initial carry. Laid out
+        # ENV-MAJOR as [D, N_seq_loc, L] (D = data shards) so the minibatch
+        # permutation stays shard-local and the update runs data-parallel —
+        # same all-gather pathology as the MLP path otherwise (see
+        # _update_from_traj).
+        T, B = traj.done.shape
+        L = cfg.seq_len
+        n_chunks = T // L
+        D = max(1, int(cfg.data_shards))
+        assert B % D == 0, (B, D)
+        N_seq = n_chunks * B
+        N_seq_loc = n_chunks * (B // D)
+
+        def seq(x):  # [T, B, ...] -> [D, N_seq_loc, L, ...]
+            x = x.reshape((n_chunks, L, B) + x.shape[2:])
+            x = jnp.moveaxis(x, 2, 0)  # [B, n_chunks, L, ...]
+            return x.reshape((D, N_seq_loc, L) + x.shape[3:])
+
+        def chunk_start(h):  # [T, B, R] -> [D, N_seq_loc, R]
+            h = jnp.swapaxes(h[::L], 0, 1)  # [B, n_chunks, R]
+            return h.reshape((D, N_seq_loc) + h.shape[2:])
+
+        obs_s = seq(traj.obs)
+        teacher_s = seq(traj.teacher_obs)
+        returns_s = seq(returns)
+        adv_s = seq(advantages)
+
+        # running stats from the env-major layout (shard-local partial
+        # reductions; the T-major reshapes forced batch all-gathers)
         obs_stats = (
-            update_stats(ts.obs_stats, traj.obs.reshape(-1, traj.obs.shape[-1]))
+            update_stats(ts.obs_stats, obs_s.reshape(-1, obs_s.shape[-1]))
             if cfg.normalize_input
             else ts.obs_stats
         )
         teacher_stats = ts.teacher_obs_stats
         if cfg.asymmetric_critic and cfg.normalize_input:
             teacher_stats = update_stats(
-                teacher_stats,
-                traj.teacher_obs.reshape(-1, traj.teacher_obs.shape[-1]),
+                teacher_stats, teacher_s.reshape(-1, teacher_s.shape[-1]),
             )
         value_stats = (
-            update_stats(ts.value_stats, returns.reshape(-1))
+            update_stats(ts.value_stats, returns_s.reshape(-1))
             if cfg.normalize_value
             else ts.value_stats
         )
 
         if cfg.normalize_advantage:
-            advantages = (advantages - advantages.mean()) / (
-                advantages.std() + 1e-8
-            )
+            adv_s = (adv_s - adv_s.mean()) / (adv_s.std() + 1e-8)
         returns_n = (
-            normalize(value_stats, returns, clip=jnp.inf)
+            normalize(value_stats, returns_s, clip=jnp.inf)
             if cfg.normalize_value
-            else returns
+            else returns_s
         )
+        values_s = seq(traj.value)
         values_n = (
-            normalize(value_stats, traj.value, clip=jnp.inf)
+            normalize(value_stats, values_s, clip=jnp.inf)
             if cfg.normalize_value
-            else traj.value
+            else values_s
         )
-
-        # --- sequence-chunk the [T, B] trajectory: N_seq = (T/L)*B chunks
-        # of length L, each with its rollout-stored initial carry
-        T, B = traj.done.shape
-        L = cfg.seq_len
-        n_chunks = T // L
-        N_seq = n_chunks * B
-
-        def seq(x):  # [T, B, ...] -> [N_seq, L, ...]
-            x = x.reshape((n_chunks, L, B) + x.shape[2:])
-            x = jnp.moveaxis(x, 2, 1)
-            return x.reshape((N_seq, L) + x.shape[3:])
-
-        def chunk_start(h):  # [T, B, R] -> [N_seq, R]
-            return h[::L].reshape((N_seq,) + h.shape[2:])
 
         done_s = seq(traj.done)
         # prev-step done inside each chunk (chunk-start carry is already
-        # post-reset from the rollout masking)
+        # post-reset from the rollout masking); chunk time axis is now 2
         dprev = jnp.concatenate(
-            [jnp.zeros_like(done_s[:, :1]), done_s[:, :-1]], axis=1
+            [jnp.zeros_like(done_s[:, :, :1]), done_s[:, :, :-1]], axis=2
         )
         batch = dict(
-            obs=seq(traj.obs),
+            obs=obs_s,
             action=seq(traj.action),
             logp=seq(traj.logp),
-            adv=seq(advantages),
-            return_n=seq(returns_n),
-            value_n=seq(values_n),
+            adv=adv_s,
+            return_n=returns_n,
+            value_n=values_n,
             mu=seq(traj.mu),
             sigma=seq(traj.sigma),
-            teacher_obs=seq(traj.teacher_obs),
+            teacher_obs=teacher_s,
             dprev=dprev,
             h0=jax.tree.map(chunk_start, traj.hidden),
         )
@@ -883,10 +896,20 @@ class PPO:
 
         grad_fn = jax.grad(loss_fn, has_aux=True)
         mb_seqs = self.mb_size // L
+        assert mb_seqs % D == 0, (mb_seqs, D)
+        mb_seqs_loc = mb_seqs // D
+
+        def take_mb(x, idx):
+            # shard-local batched gather [D, N_seq_loc, ...] -> [D, mb, ...]
+            # then merge the (sharded-major) D axis into the minibatch axis,
+            # which GSPMD represents without communication
+            ix = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+            g = jnp.take_along_axis(x, ix, axis=1)
+            return g.reshape((D * idx.shape[1],) + x.shape[2:])
 
         def mb_step(carry, idx):
             params, opt_state, lr = carry
-            mb = jax.tree.map(lambda x: x[idx], batch)
+            mb = jax.tree.map(lambda x: take_mb(x, idx), batch)
             grads, aux = grad_fn(params, mb)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             updates = jax.tree.map(lambda u: u * lr, updates)
@@ -904,9 +927,12 @@ class PPO:
             return (params, opt_state, lr), aux
 
         def epoch_step(carry, k):
-            perm = jax.random.permutation(k, N_seq).reshape(
-                self.num_minibatches, mb_seqs
-            )
+            perm = jax.vmap(lambda kk: jax.random.permutation(kk, N_seq_loc))(
+                jax.random.split(k, D)
+            )  # [D, N_seq_loc] of shard-local indices
+            perm = perm.reshape(
+                D, self.num_minibatches, mb_seqs_loc
+            ).swapaxes(0, 1)
             carry, auxs = jax.lax.scan(mb_step, carry, perm)
             return carry, auxs
 
