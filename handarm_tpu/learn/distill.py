@@ -168,10 +168,13 @@ class DAgger:
             env_state, res = self.env.step(env_state, action)
             sample = dict(obs=obs, obs_dict=obs_dict, target=teacher_a,
                           teacher_obs=teacher_obs)
-            return (env_state, res.obs, res.teacher_obs, res.obs_dict), sample
+            succ = res.info.get("success_rate_ewma", jnp.zeros(()))
+            return (env_state, res.obs, res.teacher_obs, res.obs_dict), (
+                sample, succ,
+            )
 
         keys = jax.random.split(k_roll, cfg.horizon)
-        carry, batch = jax.lax.scan(
+        carry, (batch, succ) = jax.lax.scan(
             rollout_step,
             (ds.env_state, ds.last_obs, ds.last_teacher_obs, ds.last_obs_dict),
             keys,
@@ -218,6 +221,9 @@ class DAgger:
             bc_loss=metrics["bc_loss"].mean(),
             aux_loss=metrics["aux_loss"].mean(),
             beta=beta,
+            # env-side success EWMA at rollout end; with beta near 0 this
+            # is the STUDENT's own success (the CPD yaml's eval criterion)
+            success_rate_ewma=succ[-1],
         )
         return DistillState(
             params=params, opt_state=opt_state, env_state=env_state,

@@ -79,6 +79,10 @@ def main(argv):
         ppo_overrides["hidden"], tuple
     ):
         ppo_overrides["hidden"] = tuple(ppo_overrides["hidden"])
+    mesh = make_mesh()
+    # lay the SGD phase out over the data mesh (shard-local minibatching;
+    # see PPOConfig.data_shards)
+    ppo_overrides.setdefault("data_shards", mesh.devices.size)
     ppo = PPO(env, PPOConfig(**ppo_overrides))
 
     run_dir = os.path.join("runs", exp_name)
@@ -137,7 +141,6 @@ def main(argv):
             ts = load_checkpoint(path, example_tree=ts)
             start_it = int(path.rsplit("_", 1)[1].split(".")[0])
             print(f"resumed from {path} at iter {start_it}")
-    mesh = make_mesh()
     if mesh.devices.size > 1:
         ts = shard_train_state(mesh, ts)
     train_iter = jax.jit(ppo.train_iter)
