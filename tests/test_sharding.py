@@ -72,7 +72,37 @@ def test_ppo_train_iter_sharded_matches_single(env8):
     assert not env_leaf.sharding.is_fully_replicated
 
 
-def test_dryrun_multichip_entry():
+def test_dryrun_multichip_entry(monkeypatch):
     import __graft_entry__ as ge
 
+    # tiny shape in-suite; the driver artifact runs the realistic default
+    monkeypatch.setenv("HANDARM_DRYRUN_TINY", "1")
     ge.dryrun_multichip(8)
+
+
+def test_sharded_update_has_no_allgather(env8):
+    """The SGD phase must run data-parallel: with data_shards=mesh size the
+    compiled train_iter contains gradient all-reduces but NO batch
+    all-gathers (the r3 scaling bug: T-major minibatch flatten all-gathered
+    the whole rollout to every device and replicated the update)."""
+    mesh = make_mesh()
+    ppo = PPO(
+        env8,
+        PPOConfig(horizon=2, minibatch_size=16, mini_epochs=1, hidden=(16,),
+                  data_shards=8),
+    )
+    ts = ppo.init(jax.random.PRNGKey(0))
+    ts = shard_train_state(mesh, ts)
+    ctx = (
+        jax.sharding.use_mesh(mesh)
+        if hasattr(jax.sharding, "use_mesh")
+        else mesh
+    )
+    with ctx:
+        compiled = jax.jit(ppo.train_iter).lower(ts).compile()
+    hlo = compiled.as_text()
+    assert "all-reduce" in hlo  # gradient psum present
+    # no batch all-gather: tolerate none at all (XLA names vary by version,
+    # but the r3 pathology produced 20 of these)
+    n_ag = hlo.count(" all-gather")
+    assert n_ag == 0, f"{n_ag} all-gathers in sharded train_iter"
