@@ -550,6 +550,10 @@ class HandArmEnv:
                 drop_steps=self.cfg.drop_num_steps,
             )
         )(key)
+        # block: the async drop-settle otherwise surfaces its failures (and
+        # its runtime) inside whatever device call happens next — a device
+        # fault here must point HERE, not at the first reset observable
+        jax.block_until_ready(self.initial_pool.pos)
 
     # --- helpers ------------------------------------------------------------
 
