@@ -63,8 +63,32 @@ def objects_in_bin(env, pos: jnp.ndarray) -> jnp.ndarray:
     return jnp.all((pos >= lo) & (pos <= hi), axis=-1)
 
 
+def _sim_chunk_fn(env, chunk: int):
+    """Jitted fixed-length sim burst returning (state, max object speed).
+
+    Genesis runs as a HOST loop over these bounded dispatches instead of
+    one giant drop+settle program: a single device execution covering
+    3 x (100-step drop + <=600-step settle) at fleet batch is minutes of
+    unbroken device time, which the remote TPU tunnel kills (observed:
+    deterministic worker 'kernel fault' at B=8192/C=372, while the same
+    physics in shorter dispatches runs clean). Bounded chunks also give
+    early-exit settling its reference semantics at zero recompile cost."""
+
+    def run(state):
+        def sim_body(s, _):
+            s, _ = physics_step(env.scene, s)
+            return s, None
+
+        state, _ = jax.lax.scan(sim_body, state, None, length=chunk)
+        speed = jnp.max(jnp.linalg.norm(state.objects.linvel, axis=-1))
+        return state, speed
+
+    return jax.jit(run)
+
+
 def _drop_once(env, key, drop_steps: int, settle_steps: int,
-               pos0=None, quat0=None, keep=None):
+               pos0=None, quat0=None, keep=None, sim_chunk=None,
+               chunk: int = 50):
     """Drop objects from staggered randomized poses and settle.
 
     With `keep` [B, K] given, kept objects start from (pos0, quat0)
@@ -93,25 +117,19 @@ def _drop_once(env, key, drop_steps: int, settle_steps: int,
         contact_impulse=jnp.zeros((B, env.scene.slots.num_slots, 3), jnp.float32),
     )
 
-    def sim_body(s, _):
-        s, _ = physics_step(env.scene, s)
-        return s, None
+    if sim_chunk is None:
+        sim_chunk = _sim_chunk_fn(env, chunk)
 
-    state, _ = jax.lax.scan(sim_body, state, None, length=drop_steps)
+    # drop phase: fixed number of steps in bounded bursts
+    for _ in range(-(-drop_steps // chunk)):
+        state, _ = sim_chunk(state)
 
-    # settle: bounded while_loop with all-settled early exit
+    # settle: host loop with all-settled early exit
     # (reference: <=600 steps until linvel < 0.01)
-    def cond(carry):
-        s, i = carry
-        speed = jnp.max(jnp.linalg.norm(s.objects.linvel, axis=-1))
-        return (i < settle_steps) & (speed > 0.01)
-
-    def body(carry):
-        s, i = carry
-        s, _ = physics_step(env.scene, s)
-        return (s, i + 1)
-
-    state, _ = jax.lax.while_loop(cond, body, (state, jnp.asarray(0)))
+    for _ in range(-(-settle_steps // chunk)):
+        state, speed = sim_chunk(state)
+        if float(speed) <= 0.01:
+            break
     return state.objects.pos, state.objects.quat
 
 
@@ -130,18 +148,21 @@ def build_initial_pool(
     cfg = env.cfg
     ws_lo = jnp.asarray(cfg.workspace_lo, jnp.float32)
     ws_hi = jnp.asarray(cfg.workspace_hi, jnp.float32)
+    sim_chunk = _sim_chunk_fn(env, 50)
 
     def one_config(key):
-        pos, quat = _drop_once(env, key, drop_steps, settle_steps)
+        pos, quat = _drop_once(
+            env, key, drop_steps, settle_steps, sim_chunk=sim_chunk
+        )
         # re-drop objects that settled outside the bin, keeping the good
         # ones in place (reference re-drop-until-in-bin loop,
-        # multi_object_manipulation.py:93-156), bounded for jit
+        # multi_object_manipulation.py:93-156), bounded host loop
         for attempt in range(2):
             good = objects_in_bin(env, pos)
             key = jax.random.fold_in(key, attempt + 2)
             pos, quat = _drop_once(
                 env, key, drop_steps, settle_steps,
-                pos0=pos, quat0=quat, keep=good,
+                pos0=pos, quat0=quat, keep=good, sim_chunk=sim_chunk,
             )
         # final fallback: anything still outside the workspace gets placed
         # flat at a spawn pose
@@ -156,6 +177,7 @@ def build_initial_pool(
         quat = jnp.where(bad[..., None], fallback_quat, quat)
         return pos, quat
 
-    keys = jax.random.split(key, num_configurations)
-    pos, quat = jax.lax.map(one_config, keys)
+    configs = [one_config(k) for k in jax.random.split(key, num_configurations)]
+    pos = jnp.stack([c[0] for c in configs])
+    quat = jnp.stack([c[1] for c in configs])
     return InitialPool(pos=pos, quat=quat)

@@ -543,16 +543,15 @@ class HandArmEnv:
         (reference first-reset drop initialization, SURVEY.md §3.4)."""
         from handarm_tpu.envs.genesis import build_initial_pool
 
-        self.initial_pool = jax.jit(
-            lambda k: build_initial_pool(
-                self, k,
-                num_configurations=self.cfg.num_initial_poses,
-                drop_steps=self.cfg.drop_num_steps,
-            )
-        )(key)
-        # block: the async drop-settle otherwise surfaces its failures (and
-        # its runtime) inside whatever device call happens next — a device
-        # fault here must point HERE, not at the first reset observable
+        # host-driven: genesis internally dispatches bounded jitted sim
+        # bursts (one monolithic drop+settle program at fleet batch runs
+        # minutes of unbroken device time and gets killed by the remote
+        # TPU tunnel) and blocks on each, so failures surface here
+        self.initial_pool = build_initial_pool(
+            self, key,
+            num_configurations=self.cfg.num_initial_poses,
+            drop_steps=self.cfg.drop_num_steps,
+        )
         jax.block_until_ready(self.initial_pool.pos)
 
     # --- helpers ------------------------------------------------------------
@@ -1095,6 +1094,37 @@ class HandArmEnv:
         )
         return EnvState(physics=physics, control=control, task=task, metrics=metrics)
 
+    def ensure_initial_pool(self, under_trace: bool = False) -> None:
+        """Build the genesis drop-settle pool if this env needs one and it
+        doesn't exist yet. Genesis is HOST-DRIVEN (bounded jitted sim
+        bursts + python early-exit — one monolithic drop+settle program at
+        fleet batch is minutes of unbroken device time and gets killed by
+        the remote TPU tunnel), so it cannot run inside a jit trace:
+        callers that jit reset() must call this first (ppo/distill init do)."""
+        import os
+
+        if (
+            not self.cfg.use_drop_init
+            or self.initial_pool is not None
+            or os.environ.get("HANDARM_DISABLE_GENESIS") == "1"
+        ):
+            return
+        if under_trace:
+            raise RuntimeError(
+                "HandArmEnv.reset was jitted before the genesis pool was "
+                "built; call env.ensure_initial_pool() before jax.jit(reset)"
+            )
+        import time
+
+        t0 = time.perf_counter()
+        self.initialize_pool(jax.random.PRNGKey(23 + self.cfg.num_envs))
+        print(
+            f"[genesis] drop-settled {self.cfg.num_initial_poses} pose "
+            f"configuration(s) for {self.cfg.num_envs} envs in "
+            f"{time.perf_counter() - t0:.1f}s",
+            flush=True,
+        )
+
     def reset(self, key) -> tuple[EnvState, jnp.ndarray]:
         # Genesis drop-init wiring: dataset (mesh-object) envs settle their
         # object piles once here, BEFORE the first step() trace, so both the
@@ -1106,24 +1136,8 @@ class HandArmEnv:
         # entirely and still clear 1/num_objects success by always grasping
         # the easiest object's spot (observed: round-3 plateau at 0.32).
         # HANDARM_DISABLE_GENESIS=1 is the test-suite escape hatch (the
-        # drop-settle jit is expensive on the CPU test platform).
-        import os
-
-        if (
-            self.cfg.use_drop_init
-            and self.initial_pool is None
-            and os.environ.get("HANDARM_DISABLE_GENESIS") != "1"
-        ):
-            import time
-
-            t0 = time.perf_counter()
-            self.initialize_pool(jax.random.fold_in(key, 23))
-            print(
-                f"[genesis] drop-settled {self.cfg.num_initial_poses} pose "
-                f"configuration(s) for {self.cfg.num_envs} envs in "
-                f"{time.perf_counter() - t0:.1f}s",
-                flush=True,
-            )
+        # drop-settle is expensive on the CPU test platform).
+        self.ensure_initial_pool(under_trace=isinstance(key, jax.core.Tracer))
         state = self._fresh_state(key, self.cfg.num_envs)
         # stagger the initial episode clocks: with a common start, all envs
         # time out in LOCKSTEP forever (the whole fleet resets on the same

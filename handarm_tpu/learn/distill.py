@@ -128,6 +128,11 @@ class DAgger:
 
     def init(self, key) -> DistillState:
         k_env, k_net, k_next = jax.random.split(key, 3)
+        # genesis pool (host-driven bounded dispatches) must exist BEFORE
+        # reset is traced — it cannot run inside a jit trace
+        ensure = getattr(self.env, "ensure_initial_pool", None)
+        if ensure is not None:
+            ensure()
         env_state, obs = jax.jit(self.env.reset)(k_env)
         # one step to obtain teacher obs + cloud shapes
         env_state, res = jax.jit(self.env.step)(

@@ -200,6 +200,11 @@ class PPO:
         # jit the init-time reset: eagerly dispatching the multiobj reset's
         # op stream (FK, per-object obs) at fleet batch sizes crashes the
         # remote TPU worker; one compiled program is also much faster
+        # genesis pool (host-driven bounded dispatches) must exist BEFORE
+        # reset is traced — it cannot run inside a jit trace
+        ensure = getattr(self.env, "ensure_initial_pool", None)
+        if ensure is not None:
+            ensure()
         env_state, obs = jax.jit(self.env.reset)(k_env)
         hidden = self.init_carry(obs.shape[0])
         if self.recurrent:

@@ -242,11 +242,23 @@ def _prepare(
 
     J = MinvJT = None
     pd = jnp.bfloat16 if params.prep_dtype == "bf16" else dtype
-    # OPT-IN only (jacobi_impl='pallas'): measured on v5e at B=8192/C=127
-    # the VPU kernel's serial y-chain loses to XLA's batched micro-GEMM
-    # (4.7 vs 3.8 ms) — the sweep kernel auto-upgrades on TPU, this one
-    # does not until it beats the XLA path
-    use_deff_kernel = params.mode != "gs" and params.jacobi_impl == "pallas"
+    # jacobi_impl='pallas' forces the kernel; 'soa' auto-upgrades on TPU at
+    # fleet B*C. Measured on v5e at B=8192/C=127 the VPU kernel's serial
+    # y-chain loses to XLA's batched micro-GEMM (4.7 vs 3.8 ms), so small
+    # scenes keep the XLA path — but at B*C >= 2^21 (multiobj: 8192 envs x
+    # 372 slots) the XLA chain FAULTS the TPU worker during execution
+    # (reproduced: every jacobi/prep-dtype variant of the XLA path crashes
+    # at 8192x372 while the VMEM-resident kernel runs clean; 4096x372 and
+    # 8192x240 are fine — see docs/performance.md r4 notes), and its
+    # micro-GEMM cost scales with C anyway.
+    use_deff_kernel = params.mode != "gs" and (
+        params.jacobi_impl == "pallas"
+        or (
+            params.jacobi_impl == "soa"
+            and jax.default_backend() == "tpu"
+            and B * C >= 2**21
+        )
+    )
     if has_robot.any() and use_deff_kernel:
         # fused VMEM-resident effective-mass kernel: no [B, C, nv, 3]
         # intermediates in HBM (ops/prep_deff.py; ~3.8 -> <1 ms/sim-step
@@ -275,23 +287,53 @@ def _prepare(
         # the jacobi sweep only ever reads the DIAGONAL. v reduces to a
         # pure cross-product broadcast:
         #   screw . (p x w, w) = (screw_ang x p + screw_lin) . w
+        #
+        # CHUNKED over C: the [B, chunk, nv, 3] intermediates are the
+        # peak-HBM term of the whole step (at B=8192, C=372, nv~30 the
+        # unchunked chain is >1 GB per tensor with several live at once —
+        # enough to crash the 16 GB chip during multiobj genesis). A
+        # sequential lax.map over <=128-slot chunks caps the working set
+        # at a C-independent size for the same total FLOPs.
         sa = fk.screw[..., :3]  # [B, nv, 3] angular part
         sl = fk.screw[..., 3:]
-        arm = (
-            jnp.cross(sa[:, None], contacts.pos[:, :, None]) + sl[:, None]
-        ) * anc_slot[None, :, :, None]  # [B, C, nv, 3]
-        # v[b,c,u,d] = arm . w_d  (elementwise mul-sum over the 3-axis;
-        # einsum here would again become a micro-GEMM)
-        v = jnp.sum(
-            arm[:, :, :, None, :].astype(pd)
-            * basis[:, :, None, :, :].astype(pd),
-            axis=-1,
-        )  # [B, C, nv, 3(dir)]
-        # the one real GEMM: [B, nv, nv] @ [B, nv, C*3]
-        Minv_v = jnp.einsum(
-            "buv,bcvd->bcud", Minv.astype(pd), v
+        CHUNK = min(128, C)
+        n_ch = -(-C // CHUNK)
+        C_pad = n_ch * CHUNK
+        pos_p = jnp.pad(contacts.pos, ((0, 0), (0, C_pad - C), (0, 0)))
+        anc_p = jnp.pad(anc_slot, ((0, C_pad - C), (0, 0)))
+        basis_p = jnp.pad(
+            basis, ((0, 0), (0, C_pad - C), (0, 0), (0, 0))
         )
-        d_robot = jnp.sum(v * Minv_v, axis=2).astype(dtype)  # [B, C, 3]
+        pos_cs = jnp.moveaxis(
+            pos_p.reshape(B, n_ch, CHUNK, 3), 1, 0
+        )  # [n_ch, B, CHUNK, 3]
+        anc_cs = anc_p.reshape(n_ch, CHUNK, nv)
+        basis_cs = jnp.moveaxis(
+            basis_p.reshape(B, n_ch, CHUNK, 3, 3), 1, 0
+        )
+        Minv_pd = Minv.astype(pd)
+
+        def _chunk_deff(args):
+            pos_c, anc_c, basis_c = args
+            arm = (
+                jnp.cross(sa[:, None], pos_c[:, :, None]) + sl[:, None]
+            ) * anc_c[None, :, :, None]  # [B, CHUNK, nv, 3]
+            # v[b,c,u,d] = arm . w_d (mul-sum; einsum would micro-GEMM)
+            v = jnp.sum(
+                arm[:, :, :, None, :].astype(pd)
+                * basis_c[:, :, None, :, :].astype(pd),
+                axis=-1,
+            )  # [B, CHUNK, nv, 3(dir)]
+            # the one real GEMM: [B, nv, nv] @ [B, nv, CHUNK*3]
+            Minv_v = jnp.einsum("buv,bcvd->bcud", Minv_pd, v)
+            return jnp.sum(v * Minv_v, axis=2).astype(dtype)  # [B, CHUNK, 3]
+
+        if n_ch == 1:
+            d_robot = _chunk_deff((pos_cs[0], anc_cs[0], basis_cs[0]))[:, :C]
+        else:
+            d_robot = jnp.moveaxis(
+                jax.lax.map(_chunk_deff, (pos_cs, anc_cs, basis_cs)), 0, 1
+            ).reshape(B, C_pad, 3)[:, :C]
         if params.mode == "gs":
             body_idx = jnp.broadcast_to(jnp.asarray(body_idx_np), (B, C))
             J = point_jacobian(m, fk, body_idx, contacts.pos)

@@ -108,10 +108,9 @@ def test_genesis_pool_objects_settle_in_workspace():
         objects=(("box", (0.03, 0.03, 0.03), 0.1), ("sphere", (0.03,), 0.08)),
     )
     env = HandArmEnv(cfg)
-    pool = jax.jit(
-        lambda k: build_initial_pool(env, k, num_configurations=2,
-                                     drop_steps=40, settle_steps=100)
-    )(jax.random.PRNGKey(3))
+    pool = build_initial_pool(env, jax.random.PRNGKey(3),
+                              num_configurations=2,
+                              drop_steps=40, settle_steps=100)
     pos = np.asarray(pool.pos)  # [2, 4, K, 3]
     assert pos.shape == (2, 4, 2, 3)
     assert np.isfinite(pos).all()
@@ -134,10 +133,9 @@ def test_genesis_redrop_lands_in_bin():
         drop_noise=(0.12, 0.12, 0.0),
     )
     env = HandArmEnv(cfg)
-    pool = jax.jit(
-        lambda k: build_initial_pool(env, k, num_configurations=2,
-                                     drop_steps=40, settle_steps=120)
-    )(jax.random.PRNGKey(5))
+    pool = build_initial_pool(env, jax.random.PRNGKey(5),
+                              num_configurations=2,
+                              drop_steps=40, settle_steps=120)
     pos = np.asarray(pool.pos)  # [2, 4, K, 3]
     flat = jnp.asarray(pos.reshape(-1, 3))
     inb = np.asarray(objects_in_bin(env, flat))
