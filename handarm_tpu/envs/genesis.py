@@ -120,7 +120,13 @@ def _drop_once(env, key, drop_steps: int, settle_steps: int,
     if sim_chunk is None:
         sim_chunk = _sim_chunk_fn(env, chunk)
 
-    # drop phase: fixed number of steps in bounded bursts
+    # drop phase: fixed number of steps in bounded bursts. Step counts are
+    # rounded UP to a multiple of `chunk` (a drop_steps=40 request simulates
+    # 50) and the settle early-exit is evaluated once per chunk rather than
+    # per step — deliberately coarser than the reference's per-step loop:
+    # genesis only needs "objects at rest in the bin", and extra settle
+    # steps on an already-quiet pile are a no-op, while per-step host
+    # round-trips through the TPU tunnel are not.
     for _ in range(-(-drop_steps // chunk)):
         state, _ = sim_chunk(state)
 

@@ -1100,7 +1100,15 @@ class HandArmEnv:
         bursts + python early-exit — one monolithic drop+settle program at
         fleet batch is minutes of unbroken device time and gets killed by
         the remote TPU tunnel), so it cannot run inside a jit trace:
-        callers that jit reset() must call this first (ppo/distill init do)."""
+        callers that jit reset() must call this first (ppo/distill init do).
+
+        The pool key is derived from num_envs only, NOT the training seed —
+        by design: the pool is a fixed dataset of drop-settled pile
+        configurations (analogous to the reference settling its piles once
+        at sim start), and seed-to-seed variation enters through the reset
+        keys that SELECT from the pool each episode. Keeping the pool
+        seed-invariant also lets repeated runs share the multi-minute
+        settle cost via identical device programs."""
         import os
 
         if (

@@ -381,7 +381,9 @@ def load_fbx_motion(path: str, fps: float | None = None, root_name: str | None =
         ], -1)
         q = _euler_to_quat_xyz(e, m["rot_order"])
         if np.any(m["pre_r"]):
-            q_pre = _euler_to_quat_xyz(m["pre_r"][None], m["rot_order"])[0]
+            # FBX evaluates PreRotation in fixed XYZ order regardless of
+            # the node's RotationOrder (which only governs Lcl Rotation)
+            q_pre = _euler_to_quat_xyz(m["pre_r"][None], 0)[0]
             q = _q_mul_np(np.broadcast_to(q_pre, q.shape), q)
         local_rot[:, j] = q
         if j == 0:

@@ -49,6 +49,8 @@ def main():
 
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
+    if hasattr(env, "ensure_initial_pool"):
+        env.ensure_initial_pool()  # build genesis pool before reset is traced
     state, obs = jax.jit(env.reset)(key)
     step = jax.jit(env.step)
     act = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (args.envs, env.num_actions))

@@ -59,6 +59,7 @@ def main():
           f"K={scene.shapes.num_objects} nv={m.nv}", flush=True)
 
     key = jax.random.PRNGKey(0)
+    env.ensure_initial_pool()  # genesis pool must exist before reset is traced
     state, obs = jax.jit(env.reset)(key)
     actions = 0.1 * jax.random.normal(key, (args.envs, env.num_actions))
     step = jax.jit(env.step)

@@ -196,6 +196,11 @@ def main(argv):
 
     for loop_it in range(start_it, max_iterations):
         t0 = time.time()
+        # params after exactly `loop_it` iterations: the drained stats below
+        # belong to iteration loop_it-1, so a checkpoint named step=loop_it
+        # must hold THESE params, not the post-update ts (resume would
+        # otherwise re-apply an already-applied iteration).
+        ts_at_loop_it = ts
         ts, stats_d = train_iter(ts)
         if pending is None:
             # first iteration: force completion for an honest timing base
@@ -244,10 +249,14 @@ def main(argv):
         # periodic + best checkpoints (reference rl_games save_frequency /
         # save_best_after behavior)
         if (it + 1) % save_every == 0:
-            save_checkpoint(os.path.join(run_dir, "nn"), ts, step=it + 1)
+            save_checkpoint(
+                os.path.join(run_dir, "nn"), ts_at_loop_it, step=it + 1
+            )
         if it > 50 and stats["reward_mean"] > best_reward:
             best_reward = stats["reward_mean"]
-            save_checkpoint(os.path.join(run_dir, "nn"), ts, step=0, name="best")
+            save_checkpoint(
+                os.path.join(run_dir, "nn"), ts_at_loop_it, step=0, name="best"
+            )
     if pending is not None:
         it, stats = drain(time.time())
         logger.log(it, stats)
