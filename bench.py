@@ -48,7 +48,7 @@ def emit(sps: float, envs: int, scene: str = "lift") -> None:
 
 
 def measure(envs: int, steps: int, warmup: int, scene: str = "lift",
-            policy: str | None = None) -> float:
+            policy: str | None = None, overrides: list | None = None) -> float:
     import jax
 
     t0 = time.perf_counter()
@@ -58,7 +58,8 @@ def measure(envs: int, steps: int, warmup: int, scene: str = "lift",
         from handarm_tpu.envs.registry import make_env
 
         env, ppo_over = make_env(
-            "Ur5SihMultiObjectManipulation", [f"num_envs={envs}"]
+            "Ur5SihMultiObjectManipulation",
+            [f"num_envs={envs}"] + list(overrides or []),
         )
     else:
         from handarm_tpu.envs.hand_arm import HandArmConfig, HandArmEnv
@@ -68,6 +69,11 @@ def measure(envs: int, steps: int, warmup: int, scene: str = "lift",
         ppo_over = {}
 
     key = jax.random.PRNGKey(0)
+    if hasattr(env, "ensure_initial_pool"):
+        # physics-accurate drop-settled piles: the bench must pay the same
+        # contact density training pays (genesis runs OUTSIDE the timed
+        # region — it is a once-per-process dataset build)
+        env.ensure_initial_pool()
     state, obs = jax.jit(env.reset)(key)
 
     if policy:
@@ -131,6 +137,9 @@ def main():
     p.add_argument("--policy", default=None, metavar="CKPT",
                    help="measure trained-policy-in-the-loop throughput "
                    "(policy inference + env step) with this checkpoint")
+    p.add_argument("--override", action="append", default=[],
+                   metavar="K=V", help="extra task config overrides "
+                   "(e.g. solver_iterations=8); multiobj scene only")
     args = p.parse_args()
 
     from handarm_tpu.utils.jaxinit import force_platform, setup_cache
@@ -144,12 +153,13 @@ def main():
     if not args.skip_small and args.envs > 1024:
         try:
             sps = measure(1024, max(10, args.steps // 2), args.warmup,
-                          args.scene, args.policy)
+                          args.scene, args.policy, args.override)
             emit(sps, 1024, args.scene)
         except Exception as e:  # insurance path must never kill the real run
             log(f"[bench] small-shape run failed: {e!r}")
 
-    sps = measure(args.envs, args.steps, args.warmup, args.scene, args.policy)
+    sps = measure(args.envs, args.steps, args.warmup, args.scene,
+                  args.policy, args.override)
     emit(sps, args.envs, args.scene)
 
 

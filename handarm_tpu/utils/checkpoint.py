@@ -11,26 +11,75 @@ from __future__ import annotations
 
 import os
 import pickle
+import threading
 
 import jax
 import numpy as np
 
+# One background writer: checkpoint serialization (np.savez of ~15-20 MB)
+# must never sit on the training loop's critical path. Measured on the
+# remote-tunnel TPU: a synchronous best-checkpoint save stalls the loop
+# 2.6-9 s per improved iteration — early training improves most iterations,
+# turning a 0.12 s device step into a 5.5 s wall step (the r4 throughput
+# sawtooth). The device_get stays synchronous (arrays must be read before
+# the caller mutates ts), but it is the cheap part; the npz write + fsync
+# happens here.
+_writer_lock = threading.Lock()
+_writer: threading.Thread | None = None
 
-def save_checkpoint(dirpath: str, tree, step: int, name: str = "ckpt") -> str:
+
+def _join_writer() -> None:
+    global _writer
+    with _writer_lock:
+        w = _writer
+    if w is not None:
+        w.join()
+
+
+def wait_for_pending_saves() -> None:
+    """Block until any in-flight checkpoint write has hit disk (call before
+    process exit / exec-restart so resume never sees a torn file)."""
+    _join_writer()
+
+
+def save_checkpoint(
+    dirpath: str, tree, step: int, name: str = "ckpt", sync: bool = False
+) -> str:
+    global _writer
     os.makedirs(dirpath, exist_ok=True)
     leaves, treedef = jax.tree.flatten(tree)
+    # fetch all leaves in ONE batched transfer (scalar-by-scalar round
+    # trips through the remote tunnel are the expensive failure mode)
+    host_leaves = jax.device_get(leaves)
     path = os.path.join(dirpath, f"{name}_{step}.npz")
-    np.savez_compressed(
-        path, **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-    )
-    with open(path + ".tree", "wb") as f:
-        pickle.dump(treedef, f)
+
+    def _write():
+        tmp = path + ".tmp"
+        # uncompressed savez: ~6x faster serialize at ~1.3x the bytes for
+        # float32 params; the write is off-thread either way, but shorter
+        # writes shrink the window where exit can race a pending save
+        with open(tmp, "wb") as f:
+            np.savez(f, **{f"leaf_{i}": np.asarray(x)
+                           for i, x in enumerate(host_leaves)})
+        os.replace(tmp, path)  # atomic: resume never loads a torn npz
+        with open(path + ".tree", "wb") as f:
+            pickle.dump(treedef, f)
+
+    _join_writer()  # at most one write in flight; preserves save order
+    if sync:
+        _write()
+        return path
+    t = threading.Thread(target=_write, daemon=True)
+    with _writer_lock:
+        _writer = t
+    t.start()
     return path
 
 
 def load_checkpoint(path: str, example_tree=None):
     """Load by path; if example_tree is given, its treedef is used (robust
     across refactors that keep the same leaf order)."""
+    _join_writer()  # read-your-writes: wait for any in-flight async save
     data = np.load(path, allow_pickle=False)
     leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
     if example_tree is not None:
@@ -42,6 +91,7 @@ def load_checkpoint(path: str, example_tree=None):
 
 
 def latest_checkpoint(dirpath: str, name: str = "ckpt") -> str | None:
+    _join_writer()  # read-your-writes: wait for any in-flight async save
     if not os.path.isdir(dirpath):
         return None
     cands = [

@@ -40,6 +40,13 @@ while true; do
   kill "$mon" 2>/dev/null
   if [ $rc -eq 0 ]; then
     echo "[watchdog] training finished cleanly"
+    # auto-snapshot evidence: a finished run must not be able to miss its
+    # docs/evidence/ copy (r4 ended with a red test_evidence because three
+    # runs were never snapshotted by hand)
+    exp=$(printf '%s\n' "$@" | sed -n 's/^experiment=//p' | tail -1)
+    if [ -n "${exp:-}" ] && [ -d "runs/$exp" ]; then
+      bash scripts/snapshot_evidence.sh "$exp" || true
+    fi
     exit 0
   fi
   n=$((n + 1))

@@ -176,6 +176,7 @@ def main(argv):
         pbt_last_interval = (start_it * steps_per_iter) // pbt_cfg.interval_steps
 
     best_reward = float("-inf")
+    last_best_it = -(10**9)
     t_start = time.time()
     # metrics are logged one iteration behind: the device arrays from
     # iteration i are fetched (ONE batched device_get, not one sync per
@@ -227,7 +228,8 @@ def main(argv):
                     # then replace the process image with a restart that
                     # resumes from it under the mutated hyperparameters.
                     save_checkpoint(
-                        os.path.join(run_dir, "nn"), new_ts, step=it + 1
+                        os.path.join(run_dir, "nn"), new_ts, step=it + 1,
+                        sync=True,  # execv below must see the file on disk
                     )
                     new_argv = pbt_restart_argv(argv, new_hp)
                     print(
@@ -252,8 +254,16 @@ def main(argv):
             save_checkpoint(
                 os.path.join(run_dir, "nn"), ts_at_loop_it, step=it + 1
             )
-        if it > 50 and stats["reward_mean"] > best_reward:
+        if (
+            it > 50
+            and stats["reward_mean"] > best_reward
+            # throttle: early training improves on MOST iterations; saving
+            # "best" each time puts a param fetch + npz write on every
+            # iteration (the dominant stall on fast small-batch tasks)
+            and it - last_best_it >= 25
+        ):
             best_reward = stats["reward_mean"]
+            last_best_it = it
             save_checkpoint(
                 os.path.join(run_dir, "nn"), ts_at_loop_it, step=0, name="best"
             )
@@ -268,7 +278,9 @@ def main(argv):
         )
     print(f"done in {time.time()-t_start:.0f}s")
     logger.close()
-    save_checkpoint(os.path.join(run_dir, "nn"), ts, step=max_iterations)
+    save_checkpoint(
+        os.path.join(run_dir, "nn"), ts, step=max_iterations, sync=True
+    )
 
 
 if __name__ == "__main__":
