@@ -458,10 +458,14 @@ class HandArmEnv:
         )
         from handarm_tpu.physics.solver import SolverParams
 
+        bx, by = self.robot.base_xy
+        yaw = self.robot.base_yaw
         self.scene: Scene = build_scene(
             art, shapes, spheres, geom,
             kp=self.robot.kp, kd=self.robot.kd,
-            base_pos=(0.0, 0.0, cfg.table_height),
+            base_pos=(bx, by, cfg.table_height),
+            base_quat=(float(np.cos(yaw / 2)), 0.0, 0.0,
+                       float(np.sin(yaw / 2))),
             params=SimParams(
                 dt=cfg.dt, substeps=cfg.substeps,
                 solver=SolverParams(

@@ -34,6 +34,13 @@ class RobotAdapter:
     compute_targets: Callable[[Any, Any, jnp.ndarray], jnp.ndarray]
     # register robot-specific observables: fn(registry, env)
     register_observables: Callable[[Any, Any], None]
+    # fixed-base mount pose relative to the table origin: xy offset and
+    # yaw. UR5-SIH mounts at the origin facing +y; Stretch mounts offset
+    # and yawed 180° so its (-y)-extending telescoping arm faces the bin
+    # (reference actor pose p=(0.2, 0.175, 0), r=Quat(0,0,1,0) — a 180°
+    # z-rotation — base/stretch.py:97).
+    base_xy: tuple[float, float] = (0.0, 0.0)
+    base_yaw: float = 0.0
 
 
 def get_robot(name: str) -> RobotAdapter:

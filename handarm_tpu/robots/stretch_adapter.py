@@ -149,6 +149,14 @@ def make_adapter() -> RobotAdapter:
         init_control=init_control,
         compute_targets=compute_targets,
         register_observables=register_observables,
+        # 180° yaw: the telescoping arm extends toward the base's local -y,
+        # so the mount must face it at the bin (+y in the world); xy offset
+        # mirrors the reference actor pose (base/stretch.py:97). Without
+        # this the bin is entirely OUTSIDE the reach envelope (measured:
+        # grasp-center y range [-0.55, -0.11] vs bin at y ~ +0.64) and no
+        # policy can ever succeed.
+        base_xy=(0.2, 0.175),
+        base_yaw=np.pi,
     )
     adapter.surface_cloud = stretch_surface_cloud
     return adapter
