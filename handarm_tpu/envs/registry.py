@@ -119,6 +119,12 @@ register(
         goal="lift",
         observations=STRETCH_OBS,
         actions=("stretch_relative_joint_pos",),
+        # 6 cm cube (half-extents 0.03), YCB-ish scale (reference Stretch
+        # lifts soup cans / sugar boxes / fruit, StretchMultiObject.yaml:8).
+        # Anything much larger fouls the gripper palm: the pinch throat is
+        # ~7 cm tall, an 11 cm cube pokes above the palm which then presses
+        # it down (measured: palm contact saturates the friction cone and
+        # the box slides through the pinch at any lift rate).
         objects=(("box", (0.03, 0.03, 0.03), 0.15),),
         use_bin=True,
     ),

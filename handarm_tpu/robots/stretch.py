@@ -77,7 +77,14 @@ def stretch_collision_spheres(
             pts_all.append(pts @ Rq.T + site.pos)
         if not pts_all:
             continue
-        ctr, rad = fit_spheres(np.concatenate(pts_all), spheres_per_link, padding=0.002)
+        # The gripper fingers are ~18 cm elongated curved rods: 2 fitted
+        # spheres cover them only at r ~ 5 cm, which makes the closed pinch
+        # (tip gap 2.1 cm) a ~9 cm sphere-overlap — geometrically incapable
+        # of holding ANY object (measured: every scripted pinch ejects the
+        # box before finger contact). Elongated finger links get a chain of
+        # small spheres that follow the rod instead.
+        k = 8 if link_name.startswith("link_gripper_finger_") else spheres_per_link
+        ctr, rad = fit_spheres(np.concatenate(pts_all), k, padding=0.002)
         for c, r in zip(ctr, rad):
             bodies.append(site.body)
             centers.append(c)
