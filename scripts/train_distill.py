@@ -78,13 +78,15 @@ def main():
     # vectors come out of one env step
     student_obs = tuple(s for s in args.student_obs.split(",") if s)
     cloud_keys = tuple(s for s in student_obs if "pointcloud" in s)
-    flat_obs = tuple(s for s in student_obs if "pointcloud" not in s)
     from handarm_tpu.envs.hand_arm import HandArmEnv
 
+    # cloud observables are dict-typed (key=name): they must stay in the
+    # requested observation list to be computed, but they land in
+    # res.obs_dict rather than the flat obs vector
     env = HandArmEnv(
         dataclasses.replace(
             teacher_env.cfg,
-            observations=flat_obs,
+            observations=student_obs,
             teacher_observations=teacher_env.cfg.observations,
         )
     )
@@ -92,9 +94,9 @@ def main():
     # aux regression targets sliced from the teacher obs (reference CPD
     # auxiliary block: predict privileged quantities from the encoding)
     aux = {}
-    layout = teacher_env.obs_layout if hasattr(teacher_env, "obs_layout") else {}
-    for name in ("object_pos", "sih_fingertip_pos"):
-        if isinstance(layout, dict) and name in layout:
+    layout = getattr(env, "teacher_obs_slices", {}) or {}
+    for name in ("target_object_pos", "object_pos", "sih_fingertip_pos"):
+        if name in layout:
             aux[name] = tuple(layout[name])
 
     dagger = DAgger(
