@@ -130,6 +130,13 @@ class HandArmConfig:
     # stability suites pass at this cadence (tests/test_engine.py
     # heavy-cadence probes). Default on: 281K -> 409K env-steps/s @ 8192.
     heavy_prep_per_control: bool = True
+    # carry FK across the sim steps of one control step: exact FK (and the
+    # contact set) is evaluated once by compute_heavy; sim step 1 consumes
+    # it directly, steps 2..control_freq_inv use the first-order propagated
+    # kinematics the previous step returns (engine.step carry_fk). Cuts the
+    # sequential FK chain from 4x to 1x per control step; contacts from 4x
+    # to 3x. Pose error O((qd*dt)^2) per step, re-anchored at 20 Hz.
+    carry_fk: bool = True
     hand_only_collision: bool = True
     # randomization (object disturbance forces,
     # reference Ur5SihMultiObjectManipulation.yaml randomization_params;
@@ -1270,18 +1277,46 @@ class HandArmEnv:
 
             heavy = compute_heavy(self.scene, physics, ovr)
 
-            def body(s, _):
-                return physics_step(self.scene, s, ovr, heavy=heavy)
+            if cfg.carry_fk and not self.art.floating:
+                # sim step 1 reuses compute_heavy's exact FK + contact set
+                # (bit-identical — same q); steps 2..N ride the propagated
+                # FK the previous step returns, so the sequential FK chain
+                # runs once per control step instead of 4x
+                physics, info_last, fk = physics_step(
+                    self.scene, physics, ovr, heavy=heavy,
+                    fk0=heavy.fk0, contacts0=heavy.contacts0, carry_fk=True,
+                )
+                if cfg.control_freq_inv > 1:
+                    def body(carry, _):
+                        s, fk = carry
+                        s, info, fk = physics_step(
+                            self.scene, s, ovr, heavy=heavy, fk0=fk,
+                            carry_fk=True,
+                        )
+                        return (s, fk), info
 
+                    (physics, fk), infos = jax.lax.scan(
+                        body, (physics, fk), None,
+                        length=cfg.control_freq_inv - 1,
+                    )
+                    info_last = jax.tree.map(lambda x: x[-1], infos)
+            else:
+                def body(s, _):
+                    return physics_step(self.scene, s, ovr, heavy=heavy)
+
+                physics, infos = jax.lax.scan(
+                    body, physics, None, length=cfg.control_freq_inv
+                )
+                info_last = jax.tree.map(lambda x: x[-1], infos)
         else:
 
             def body(s, _):
                 return physics_step(self.scene, s, ovr)
 
-        physics, infos = jax.lax.scan(
-            body, physics, None, length=cfg.control_freq_inv
-        )
-        info_last: StepInfo = jax.tree.map(lambda x: x[-1], infos)
+            physics, infos = jax.lax.scan(
+                body, physics, None, length=cfg.control_freq_inv
+            )
+            info_last = jax.tree.map(lambda x: x[-1], infos)
 
         progress = state.task.progress + 1
         task = state.task._replace(

@@ -446,6 +446,11 @@ class HeavyPrep(NamedTuple):
     dyn: Any
     prep: Any
     bias_acc: jnp.ndarray
+    # the FK + contact set evaluated at control-step start: the FIRST sim
+    # step of the control step can consume these directly instead of
+    # recomputing them (they are bit-identical — same q, same poses)
+    fk0: Any = None
+    contacts0: Any = None
 
 
 def compute_heavy(
@@ -480,7 +485,8 @@ def compute_heavy(
         opos, oquat, h, p.solver,
         mass_scale=ovr.mass_scale, friction_scale=ovr.friction_scale,
     )
-    return HeavyPrep(dyn=dyn, prep=prep0, bias_acc=dyn.solve(dyn.bias))
+    return HeavyPrep(dyn=dyn, prep=prep0, bias_acc=dyn.solve(dyn.bias),
+                     fk0=fk0, contacts0=contacts0)
 
 
 def step(
@@ -489,6 +495,9 @@ def step(
     ovr: EnvOverrides = EnvOverrides(),
     shared_prep: bool = True,
     heavy: HeavyPrep | None = None,
+    fk0=None,
+    contacts0=None,
+    carry_fk: bool = False,
 ):
     """One outer sim step (dt) = `substeps` contact-resolved substeps.
 
@@ -499,8 +508,20 @@ def step(
     everything each substep (the more accurate path used by tight physics
     tests). Passing `heavy` (from `compute_heavy`) reuses a previous step's
     mass structure: this step then only runs FK + contact generation +
-    the light geometry refresh before the substep loop."""
+    the light geometry refresh before the substep loop.
+
+    FK-carry (heavy path, fixed base): `fk0` supplies this step's start-
+    of-step kinematics (either the exact FK from compute_heavy, or the
+    propagated FK returned by the previous step), skipping the sequential
+    FK chain entirely; `contacts0` likewise supplies a precomputed contact
+    set (only valid when fk0 is compute_heavy's exact FK — same q).
+    `carry_fk=True` returns (state, info, fk_next) where fk_next is the
+    first-order propagation of fk0 by this step's realized joint motion —
+    feed it to the next sim step of the SAME control step. Error is
+    O((qd*dt)^2) per step and re-anchored by exact FK every control step."""
     if not shared_prep:
+        assert not carry_fk, "carry_fk requires shared_prep"
+
         def body(s, _):
             return substep(scene, s, ovr)
 
@@ -532,11 +553,13 @@ def step(
         base_quat0, base_pos0 = rob.base_quat, rob.base_pos
     else:
         base_quat0, base_pos0 = scene.base_quat[None], scene.base_pos[None]
-    fk0 = forward_kinematics(m, q, base_quat0, base_pos0)
-    contacts0 = generate_contacts(
-        scene.slots, scene.shapes, scene.spheres, scene.geom,
-        opos, oquat, fk0.body_quat, fk0.body_pos,
-    )
+    if fk0 is None:
+        fk0 = forward_kinematics(m, q, base_quat0, base_pos0)
+    if contacts0 is None:
+        contacts0 = generate_contacts(
+            scene.slots, scene.shapes, scene.spheres, scene.geom,
+            opos, oquat, fk0.body_quat, fk0.body_pos,
+        )
     if heavy is not None:
         dyn = heavy.dyn
         bias_acc = heavy.bias_acc
@@ -555,10 +578,22 @@ def step(
         bias_acc = dyn.solve(dyn.bias)
 
     if not p.substep_contacts:
-        return _step_anchored(
+        anchored = _step_anchored(
             scene, state, ovr, fk0, dyn, contacts0, prep0, bias_acc,
             kp, kd, g_obj,
         )
+        if not carry_fk:
+            return anchored
+        assert not m.floating, "carry_fk supports fixed-base models only"
+        out_state, info = anchored
+        # propagate by the REALIZED joint displacement (exact q integral)
+        qd_eff = (out_state.robot.q - q) / p.dt
+        bq2, bp2, screw2 = _propagate_fk(
+            m, fk0.body_quat, fk0.body_pos, fk0.screw, qd_eff, p.dt
+        )
+        from handarm_tpu.physics.kinematics import FK
+
+        return out_state, info, FK(body_quat=bq2, body_pos=bp2, screw=screw2)
 
     def sub(carry, it):
         q, qd, opos, oquat, olin, oang, lam, bq, bp, screw = carry
@@ -619,7 +654,7 @@ def step(
         q, qd, opos, oquat, olin, oang, state.contact_impulse,
         fk0.body_quat, fk0.body_pos, fk0.screw,
     )
-    (q, qd, opos, oquat, olin, oang, lam, bq_f, bp_f, _), (normals, depths) = jax.lax.scan(
+    (q, qd, opos, oquat, olin, oang, lam, bq_f, bp_f, screw_f), (normals, depths) = jax.lax.scan(
         sub, carry, None, length=p.substeps
     )
 
@@ -645,6 +680,12 @@ def step(
         objects=ObjectState(pos=opos, quat=oquat, linvel=olin, angvel=oang),
         contact_impulse=lam,
     )
+    if carry_fk:
+        from handarm_tpu.physics.kinematics import FK
+
+        # the substep loop already propagated poses/screws to step end
+        return new_state, info, FK(body_quat=bq_f, body_pos=bp_f,
+                                   screw=screw_f)
     return new_state, info
 
 
