@@ -138,32 +138,45 @@ def bias_forces_com(
     com_w: jnp.ndarray,
     body_vel: jnp.ndarray,
 ) -> jnp.ndarray:
-    """COM-referenced bias torques (same recursion as `bias_forces`, no
-    [B, nb, 6, 6] tensors)."""
+    """COM-referenced bias torques (same values as `bias_forces`, no
+    [B, nb, 6, 6] tensors).
+
+    The root->leaf velocity-product recursion a_b = a_parent + g_b with
+    g_b = (v_b x s_b) qd_b is a pure prefix sum along each ancestor chain:
+    a_b = a0 + sum_{c ancestor-or-self of b} g_c. All g_c are independent,
+    so the whole sweep collapses to one masked matmul over the static
+    body-ancestor matrix — no sequential chain, no per-body dispatch (the
+    old python loop emitted nb tiny dependent ops that XLA could not
+    overlap; ~17 serialized VPU launches per call)."""
     B = qd.shape[0]
     a0 = jnp.concatenate(
         [jnp.zeros((B, 3), qd.dtype), jnp.broadcast_to(-gravity, (B, 3))],
         axis=-1,
     )
     nb = m.nb or m.nv
-    body_parent = m.body_parent if m.body_parent is not None else m.parent
     dof_body = m.dof_body if m.dof_body is not None else np.arange(m.nv)
     start = 6 if m.floating else 0
-    avp = []
+    # g[:, b] for each jointed body; zero for a floating base's body 0
+    # (its velocity-product term v x v = 0)
+    g = jnp.zeros((B, nb, 6), qd.dtype)
+    body_of_dof = np.asarray(dof_body[start:])  # [nv-start]
+    s = fk.screw[:, start:]  # [B, nv-start, 6]
+    v_at = body_vel[:, body_of_dof]  # [B, nv-start, 6]
+    g_dofs = motion_cross(v_at, s) * qd[:, start:, None]
+    g = g.at[:, body_of_dof].add(g_dofs)
+    # body_anc[n, b] = 1 iff body b is ancestor-or-self of body n: reuse
+    # ancestor_mask ([nb, nv], dof u moves body n) through each body's
+    # driving dof
+    body_anc = np.zeros((nb, nb), np.float32)
+    body_anc[:, 0] = 1.0 if m.floating else 0.0
     for b in range(nb):
-        p = int(body_parent[b])
-        a_par = a0 if p < 0 else avp[p]
         if m.floating and b == 0:
-            avp.append(a_par)
             continue
-        i = int(np.nonzero(dof_body[start:] == b)[0][0]) + start
-        s_i = fk.screw[:, i]
-        avp.append(
-            jax.lax.optimization_barrier(
-                a_par + motion_cross(body_vel[:, b], s_i) * qd[:, i : i + 1]
-            )
-        )
-    avp = jnp.stack(avp, axis=1)  # [B, nb, 6]
+        i = int(np.nonzero(np.asarray(dof_body[start:]) == b)[0][0]) + start
+        body_anc[:, b] = np.asarray(m.ancestor_mask)[:, i]
+    avp = a0[:, None, :] + jnp.einsum(
+        "nm,Bma->Bna", jnp.asarray(body_anc), g
+    )  # [B, nb, 6]
 
     Iv = _apply_inertia_com(m, fk, com_w, body_vel)
     f = _apply_inertia_com(m, fk, com_w, avp) + force_cross(body_vel, Iv)
