@@ -100,6 +100,11 @@ register(
     HandArmConfig(
         robot="stretch",
         goal="reposition",
+        # reference StretchMultiObjectManipulation.yaml:57 — the Stretch's
+        # rate-limited joints need 400 control steps to descend+grasp+lift
+        # (the r5b/r5c zero-success runs were 200-step episodes: the
+        # descent ALONE takes ~140 steps from the reset lift height)
+        episode_length=400,
         observations=STRETCH_OBS,
         actions=("stretch_relative_joint_pos",),
         objects=(
@@ -117,6 +122,7 @@ register(
     HandArmConfig(
         robot="stretch",
         goal="lift",
+        episode_length=400,  # see StretchMultiObjectManipulation note
         observations=STRETCH_OBS,
         actions=("stretch_relative_joint_pos",),
         # 6 cm cube (half-extents 0.03), YCB-ish scale (reference Stretch

@@ -32,8 +32,10 @@ FINGERTIP_SITES = ["fingertip_left", "fingertip_right"]
 
 DEFAULT_PROP_GAIN = [400.0, 400.0, 200.0, 200.0, 200.0, 200.0, 40.0, 10.0, 10.0]
 DEFAULT_DERIV_GAIN = [40.0, 40.0, 20.0, 20.0, 20.0, 20.0, 4.0, 1.0, 1.0]
-RESET_JOINT_CONFIG = [0.0, 0.6, 0.05, 0.05, 0.05, 0.05, 0.0, 0.3, 0.3]
-BRINGUP_JOINT_CONFIG = [0.0, 0.8, 0.0, 0.0, 0.0, 0.0, 0.0, 0.6, 0.6]
+# reference StretchBase.yaml:7-8: reset lift 0.7 / arm retracted / fingers
+# open; bringup lift 0.9 with wrist yawed 90deg clear of the bin
+RESET_JOINT_CONFIG = [0.0, 0.7, 0.0, 0.0, 0.0, 0.0, 0.0, 0.6, 0.6]
+BRINGUP_JOINT_CONFIG = [0.0, 0.9, 0.0, 0.0, 0.0, 0.0, 1.571, 0.6, 0.6]
 
 
 @functools.lru_cache(maxsize=2)
