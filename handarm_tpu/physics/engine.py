@@ -713,6 +713,21 @@ def _step_anchored(scene, state, ovr, fk0, dyn, contacts0, prep0, bias_acc,
         bpos0 = jnp.broadcast_to(scene.base_pos[None], (q.shape[0], 3))
         bquat0 = jnp.broadcast_to(scene.base_quat[None], (q.shape[0], 4))
     B, C = contacts0.depth.shape
+
+    from handarm_tpu.physics.solver import _use_pallas_sweeps
+
+    if (
+        jax.default_backend() == "tpu"
+        and p.solver.mode == "jacobi"
+        and p.solver.jacobi_impl == "soa"
+        and p.solver.restitution == 0.0
+        and _use_pallas_sweeps(p.solver, B, C)
+    ):
+        return _step_anchored_fused(
+            scene, state, ovr, fk0, dyn, contacts0, prep0, bias_acc,
+            kp, kd, g_obj,
+        )
+
     # thread prep/normals through the scan carry 2D-flattened — see
     # solver._carry_split for the TPU layout hazard this avoids. Small
     # scenes stay closed over (remat-into-body fuses and is faster there).
@@ -799,6 +814,149 @@ def _step_anchored(scene, state, ovr, fk0, dyn, contacts0, prep0, bias_acc,
         jax.lax.scan(sub, carry, None, length=p.substeps)
     )
 
+    f_slot = lam / h
+    info = StepInfo(
+        body_contact_force=jnp.einsum(
+            "bci,cn->bni", f_slot, scene.slot_to_body),
+        obj_contact_force=jnp.einsum(
+            "bci,ck->bki", -f_slot, scene.slot_to_obj),
+        max_penetration=jnp.max(
+            jnp.maximum(depth, 0.0), axis=-1, initial=0.0),
+    )
+    if m.floating:
+        base_pos_f, base_quat_f = bpos_f, bquat_f
+    else:
+        base_pos_f, base_quat_f = rob.base_pos, rob.base_quat
+    new_state = PhysicsState(
+        robot=RobotState(
+            q=q, qd=qd, targets=targets,
+            base_pos=base_pos_f, base_quat=base_quat_f, tau_ext=rob.tau_ext,
+        ),
+        objects=ObjectState(pos=opos, quat=oquat, linvel=olin, angvel=oang),
+        contact_impulse=lam,
+    )
+    return new_state, info
+
+
+def _step_anchored_fused(scene, state, ovr, fk0, dyn, contacts0, prep0,
+                         bias_acc, kp, kd, g_obj):
+    """TPU fast path of `_step_anchored`: one `anchored_pack` per sim step
+    feeds the fused sweep kernel every substep with warm-start apply and
+    the post-solve normal velocity computed IN-kernel.
+
+    vs the generic path this removes, per substep: the AoS->SoA plane
+    conversion + restack, the XLA warm-start `_apply_soa` pass, and the
+    world impulse reconstruction/reprojection round trip (the basis is
+    frozen across anchored substeps, so world->basis is the identity) —
+    measured together ~4 ms of the 10.4 ms solve call at 8192x372. The
+    TGS depth advance stays in XLA against the packed planes
+    (solver.anchored_vn) because it must see the post-clamp velocities;
+    semantics match the generic path bit-for-bit (pinned by
+    tests/test_contact_sweep.py::test_anchored_fused_matches_generic)."""
+    from handarm_tpu.math.quat import quat_integrate
+    from handarm_tpu.physics.solver import (
+        anchored_impulse_world, anchored_pack, anchored_vn, solve_anchored)
+
+    m = scene.model
+    p = scene.params
+    h = p.dt / p.substeps
+    rob = state.robot
+    targets = rob.targets
+    q, qd = rob.q, rob.qd
+    opos, oquat, olin, oang = state.objects
+    if m.floating:
+        bpos0, bquat0 = rob.base_pos, rob.base_quat
+    else:
+        bpos0 = jnp.broadcast_to(scene.base_pos[None], (q.shape[0], 3))
+        bquat0 = jnp.broadcast_to(scene.base_quat[None], (q.shape[0], 4))
+
+    arrays0, signs = anchored_pack(prep0)
+    # previous sim step's world impulses -> this step's (frozen) basis
+    lam_w0 = state.contact_impulse
+    lam3_0 = tuple(
+        jnp.einsum("bci,bci->bc", lam_w0, prep0.basis[:, :, d])
+        for d in range(3)
+    )
+
+    def sub(carry, it):
+        (q, qd, opos, oquat, olin, oang, l0, l1, l2, depth, bpos, bquat,
+         arrays) = carry
+        bias = jnp.where(
+            depth >= 0.0,
+            jnp.minimum(
+                p.solver.baumgarte / h
+                * jnp.maximum(depth - p.solver.slop, 0.0),
+                p.solver.max_depenetration_vel,
+            ),
+            depth / h,
+        )
+        tau = stable_pd_torque(q, qd, targets, kp, kd, h, m.effort_limit)
+        if rob.tau_ext is not None:
+            tau = tau + rob.tau_ext
+        qd_free = qd - h * bias_acc + h * dyn.solve(tau)
+        olin_free = olin * (1.0 - h * p.obj_linear_damping) + h * g_obj
+        oang_free = oang * (1.0 - h * p.obj_angular_damping) + gyroscopic_delta(
+            oquat, scene.shapes.inertia_diag, oang, h
+        )
+        qd_s, olv, oav, lam3, _ = solve_anchored(
+            arrays, signs, bias, qd_free, olin_free, oang_free,
+            (l0, l1, l2), p.solver,
+        )
+        qd_new = jnp.clip(qd_s, -m.velocity_limit, m.velocity_limit)
+        if m.floating:
+            qd_new = _clamp_base_velocity(m, qd_new, bpos, p)
+        q_new = q + h * qd_new
+        low = m.q_min + p.joint_limit_margin
+        high = m.q_max - p.joint_limit_margin
+        below, above = q_new < low, q_new > high
+        q_new = jnp.clip(q_new, low, high)
+        qd_new = jnp.where(below, jnp.maximum(qd_new, 0.0), qd_new)
+        qd_new = jnp.where(above, jnp.minimum(qd_new, 0.0), qd_new)
+        olv, oav = _cap_contact_gain(
+            olv, olin_free, oav, oang_free, scene.shapes, p.solver,
+        )
+        olv = jnp.clip(olv, -p.max_obj_linvel, p.max_obj_linvel)
+        oav = jnp.clip(oav, -p.max_obj_angvel, p.max_obj_angvel)
+        if p.solver.rolling_friction > 0.0 and scene.shapes.num_objects:
+            from handarm_tpu.ops.contact_sweep import _BASE
+
+            n0 = jnp.stack([arrays[0][i] for i in _BASE["n"]], axis=-1)
+            oav = _rolling_resistance(
+                oav, anchored_impulse_world(arrays, lam3), n0,
+                scene.slot_to_obj, scene.shapes.inertia_diag,
+                p.solver.rolling_friction,
+            )
+        opos_new, oquat_new = free_body_integrate(opos, oquat, olv, oav, h)
+        if scene.rails is not None:
+            opos_new, oquat_new, olv, oav = _apply_rails(
+                scene, opos_new, oquat_new, olv, oav, h
+            )
+        # TGS depth advance from the POST-clamp velocities (solver.
+        # anchored_vn docstring: grasp contacts ride joint-limit-clamped
+        # fingers; the kernel's pre-clamp vn loses 10 points of policy
+        # success)
+        depth_new = depth - h * anchored_vn(arrays, signs, qd_new, olv, oav)
+        if m.floating:
+            v_o, w = qd_new[:, 0:3], qd_new[:, 3:6]
+            bpos_new = bpos + h * (v_o + jnp.cross(w, bpos))
+            bquat_new = quat_integrate(bquat, w, h)
+            q_new = q_new.at[:, :6].set(0.0)
+        else:
+            bpos_new, bquat_new = bpos, bquat
+        return (
+            q_new, qd_new, opos_new, oquat_new, olv, oav,
+            lam3[0], lam3[1], lam3[2], depth_new, bpos_new, bquat_new,
+            arrays,
+        ), None
+
+    carry = (
+        q, qd, opos, oquat, olin, oang, lam3_0[0], lam3_0[1], lam3_0[2],
+        contacts0.depth, bpos0, bquat0, arrays0,
+    )
+    (q, qd, opos, oquat, olin, oang, l0, l1, l2, depth, bpos_f, bquat_f,
+     arrays_f), _ = jax.lax.scan(sub, carry, None, length=p.substeps)
+
+    lam = anchored_impulse_world(arrays_f, (l0, l1, l2))
     f_slot = lam / h
     info = StepInfo(
         body_contact_force=jnp.einsum(

@@ -851,7 +851,7 @@ def _pallas_sweeps(s: _SoA, qd, lvc, avc, lam, params: SolverParams):
 
     plane_list = (
         list(s.n) + list(s.t1) + list(s.t2) + list(s.pos)
-        + [s.bias, s.mu] + list(s.inv_d) + [s.gate]
+        + [s.mu] + list(s.inv_d) + [s.gate]
     )
     side_onehots = []
     signs = []
@@ -868,6 +868,7 @@ def _pallas_sweeps(s: _SoA, qd, lvc, avc, lam, params: SolverParams):
     )
     qd_o, obj_o, lam_o = fused_jacobi_sweeps(
         planes=jnp.stack(plane_list),
+        bias=s.bias,
         screws=jnp.stack(list(s.screw)),
         qd=qd,
         minv2=s.Minv2,
@@ -886,6 +887,138 @@ def _pallas_sweeps(s: _SoA, qd, lvc, avc, lam, params: SolverParams):
         lvc = (obj_o[0], obj_o[1], obj_o[2])
         avc = (obj_o[3], obj_o[4], obj_o[5])
     return qd_o, lvc, avc, (lam_o[0], lam_o[1], lam_o[2])
+
+
+def anchored_pack(prep: _Prep):
+    """Build the fused-sweep kernel's inputs ONCE per sim step.
+
+    The anchored substep loop (engine._step_anchored fast path) re-solves
+    against a frozen contact set every substep; without this pack the
+    AoS->SoA conversion (~38 [B, C]-plane transposes, >400 MB at multiobj
+    scale) and the plane re-stack ran per SUBSTEP inside the XLA graph —
+    measured at 8192x372 it cost more than the 16 in-kernel sweeps it fed.
+    Returns (arrays, signs): `arrays` is a flat tuple of device arrays that
+    threads through the substep scan carry unchanged; `signs` is static."""
+    s = _soa_from_prep(prep)
+    plane_list = (
+        list(s.n) + list(s.t1) + list(s.t2) + list(s.pos)
+        + [s.mu] + list(s.inv_d) + [s.gate]
+    )
+    side_onehots = []
+    signs = []
+    for sd in s.sides:
+        plane_list += list(sd.r) + list(sd.Iinv) + [sd.invm]
+        side_onehots.append((sd.onehot, sd.onehotT))
+        signs.append(sd.sign)
+    arrays = (
+        jnp.stack(plane_list), jnp.stack(list(s.screw)), s.Minv2,
+        s.anc_slotT, s.anc_slot, s.fold, prep.active, tuple(side_onehots),
+    )
+    return arrays, tuple(signs)
+
+
+def solve_anchored(arrays, signs, bias, qd, lv, av, warm_lam3,
+                   params: SolverParams, emit_vn: bool = False):
+    """Fused-kernel solve against a prebuilt anchored_pack.
+
+    warm_lam3: previous substep's accumulated impulses in BASIS components
+    (3 x [B, C]) or None. The contact basis is frozen across anchored
+    substeps, so the world-frame round trip solve_prepared does (project
+    world impulse onto the current basis) is the identity here; the cone
+    re-clip happens in cheap XLA elementwise ops and the re-APPLY (the
+    expensive coupling matmuls) happens inside the kernel (apply_warm).
+    Returns (qd, lv [B,K,3], av, lam3, vn [B,C]) with vn the post-solve
+    normal relative velocity for the TGS depth advance."""
+    from handarm_tpu.ops.contact_sweep import _BASE, fused_jacobi_sweeps
+
+    planes, screws, minv2, ancT, anc, fold, active, side_onehots = arrays
+    B, C = bias.shape
+    mu = planes[_BASE["mu"]]
+    if side_onehots:
+        K = side_onehots[0][0].shape[1]
+        obj = jnp.stack([lv[..., 0], lv[..., 1], lv[..., 2],
+                         av[..., 0], av[..., 1], av[..., 2]])
+    else:
+        K = 1
+        obj = jnp.zeros((6, B, K), qd.dtype)
+    if warm_lam3 is None or params.warm_start <= 0.0:
+        lam0 = jnp.zeros((3, B, C), qd.dtype)
+        apply_warm = False
+    else:
+        ln = jnp.maximum(warm_lam3[0], 0.0)
+        lt1, lt2 = warm_lam3[1], warm_lam3[2]
+        fmag = jnp.sqrt(lt1 * lt1 + lt2 * lt2)
+        fmax = mu * ln
+        sc = jnp.where(fmag > fmax, fmax / jnp.maximum(fmag, 1e-9), 1.0)
+        w = params.warm_start * active
+        lam0 = jnp.stack([w * ln, w * lt1 * sc, w * lt2 * sc])
+        apply_warm = True
+    out = fused_jacobi_sweeps(
+        planes=planes, bias=bias, screws=screws, qd=qd, minv2=minv2,
+        obj=obj, lam0=lam0, ancT=ancT, anc=anc, fold=fold,
+        side_onehots=list(side_onehots), signs=signs,
+        iterations=params.iterations, omega=params.relaxation,
+        interpret=jax.default_backend() != "tpu",
+        apply_warm=apply_warm, emit_vn=emit_vn,
+    )
+    if emit_vn:
+        qd_o, obj_o, lam_o, vn = out
+    else:
+        qd_o, obj_o, lam_o = out
+        vn = None
+    if side_onehots:
+        lv_o = jnp.stack([obj_o[0], obj_o[1], obj_o[2]], axis=-1)
+        av_o = jnp.stack([obj_o[3], obj_o[4], obj_o[5]], axis=-1)
+    else:
+        lv_o, av_o = lv, av
+    return qd_o, lv_o, av_o, (lam_o[0], lam_o[1], lam_o[2]), vn
+
+
+def anchored_vn(arrays, signs, qd, lv, av):
+    """Post-clamp normal relative velocity [B, C] from a prebuilt pack.
+
+    The kernel's emit_vn output is evaluated BEFORE the engine's velocity
+    clamps; grasp contacts sit exactly on joint-limit-clamped fingers, so
+    the TGS depth advance must see the CLAMPED velocities (measured: the
+    pre-clamp shortcut cost the r3 lift policy 10 points of success).
+    Cost: one sweep-equivalent of coupling GEMMs per substep."""
+    from handarm_tpu.ops.contact_sweep import _BASE
+
+    from handarm_tpu.ops.contact_sweep import _NBASE, _NSIDE
+
+    planes, screws, _, ancT, _, _, _, side_onehots = arrays
+    b = [(screws[a] * qd) @ ancT for a in range(6)]
+    wx, wy, wz, lx, ly, lz = b
+    px, py, pz = (planes[i] for i in _BASE["pos"])
+    vx = lx + wy * pz - wz * py
+    vy = ly + wz * px - wx * pz
+    vz = lz + wx * py - wy * px
+    for s_i, (oh, ohT) in enumerate(side_onehots):
+        sg = signs[s_i]
+        base = _NBASE + s_i * _NSIDE  # r planes lead each side block
+        rx, ry, rz = planes[base], planes[base + 1], planes[base + 2]
+        ox = [lv[..., i] @ ohT for i in range(3)]
+        aw = [av[..., i] @ ohT for i in range(3)]
+        vx = vx + sg * (ox[0] + aw[1] * rz - aw[2] * ry)
+        vy = vy + sg * (ox[1] + aw[2] * rx - aw[0] * rz)
+        vz = vz + sg * (ox[2] + aw[0] * ry - aw[1] * rx)
+    nx, ny, nz = (planes[i] for i in _BASE["n"])
+    return vx * nx + vy * ny + vz * nz
+
+
+def anchored_impulse_world(arrays, lam3):
+    """World-frame impulse [B, C, 3] from basis components (elementwise)."""
+    from handarm_tpu.ops.contact_sweep import _BASE
+
+    planes = arrays[0]
+    n = [planes[i] for i in _BASE["n"]]
+    t1 = [planes[i] for i in _BASE["t1"]]
+    t2 = [planes[i] for i in _BASE["t2"]]
+    return jnp.stack(
+        [lam3[0] * n[i] + lam3[1] * t1[i] + lam3[2] * t2[i]
+         for i in range(3)],
+        axis=-1,
+    )
 
 
 def _solve_jacobi_soa(prep: _Prep, qd, lv, av, params: SolverParams,

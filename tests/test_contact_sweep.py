@@ -67,3 +67,49 @@ def test_pallas_matches_scan(tmp_path):
     assert np.all(np.isfinite(np.asarray(got.objects.pos)))
     z = np.asarray(got.objects.pos[0, :2, 2])
     assert z[1] > z[0] > 0.0
+
+
+def test_anchored_fused_matches_generic():
+    """engine._step_anchored_fused (the TPU fast path: anchored_pack once
+    per sim step + in-kernel warm apply + XLA post-clamp depth advance)
+    must match the generic anchored path bit-for-bit, including across
+    chained sim steps so the TGS depth advance feeds back."""
+    from handarm_tpu.envs.registry import make_env
+    from handarm_tpu.physics.engine import (
+        EnvOverrides, _step_anchored, _step_anchored_fused, compute_heavy)
+
+    env, _ = make_env("Ur5SihLift", ["num_envs=64"])
+    st, _ = env.reset(jax.random.PRNGKey(0))
+    stepf = jax.jit(env.step)
+    a = jnp.asarray(
+        0.3 * np.random.default_rng(0).standard_normal(
+            (64, env.num_actions)
+        ),
+        jnp.float32,
+    )
+    for _ in range(30):  # drive into contact-rich states
+        st, _ = stepf(st, a)
+    ph = st.physics
+    scene, ovr = env.scene, EnvOverrides()
+    heavy = compute_heavy(scene, ph)
+    g = scene.gravity
+    g_obj = g if g.ndim == 1 else g[:, None, :]
+    args = (heavy.fk0, heavy.dyn, heavy.contacts0, heavy.prep,
+            heavy.bias_acc, scene.kp, scene.kd, g_obj)
+    s1 = s2 = ph
+    for _ in range(2):
+        s1, _ = _step_anchored(scene, s1, ovr, *args)
+        s2, _ = _step_anchored_fused(scene, s2, ovr, *args)
+    for name in ("q", "qd"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s1.robot, name)),
+            np.asarray(getattr(s2.robot, name)), err_msg=name,
+        )
+    for name in ("pos", "quat", "linvel", "angvel"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s1.objects, name)),
+            np.asarray(getattr(s2.objects, name)), err_msg=name,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(s1.contact_impulse), np.asarray(s2.contact_impulse)
+    )
