@@ -58,7 +58,11 @@ def main():
     from handarm_tpu.learn.ppo import PPO, PPOConfig
     from handarm_tpu.utils.checkpoint import load_checkpoint
 
-    teacher_env, ppo_over = compose_task(args.task, [f"num_envs={args.envs}"])
+    # env.num_envs: the yaml-composition path (tasks with a config group,
+    # e.g. Ur5SihMultiObjectManipulation) rejects bare top-level keys
+    teacher_env, ppo_over = compose_task(
+        args.task, [f"env.num_envs={args.envs}"]
+    )
     if "hidden" in ppo_over and not isinstance(ppo_over["hidden"], tuple):
         ppo_over["hidden"] = tuple(ppo_over["hidden"])
 
