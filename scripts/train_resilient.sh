@@ -10,8 +10,13 @@ cd "$(dirname "$0")/.."
 STALL_SECS=${STALL_SECS:-420}
 # a FRESH compile of a fleet-scale env (multiobj C~372) takes 8-10 min
 # with a cold jit cache — the stall monitor must not kill it mid-compile
-# (it did: rc=137 restart loops whose only symptom was silence)
-STARTUP_GRACE=${STARTUP_GRACE:-900}
+# (it did: rc=137 restart loops whose only symptom was silence).
+# r5 measurement: the full restart pipeline (genesis pool rebuild +
+# compile + first 10-iter log line) takes 13-15 min even with a warm
+# cache, and the remote worker wedges if a new client attaches within
+# ~60s of a killed one — 900s killed two HEALTHY restarts in a row
+# (multiobj_r5a, 22:18/22:34). 1800s covers the measured pipeline 2x.
+STARTUP_GRACE=${STARTUP_GRACE:-1800}
 n=0
 while true; do
   python train.py "$@" resume=auto &
